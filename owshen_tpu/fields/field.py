@@ -1,0 +1,361 @@
+"""Batched prime-field arithmetic over multi-limb integers for TPU.
+
+Design (TPU-first, not a port):
+  * A field element is a little-endian array of L=16 limbs, W=16 bits each,
+    stored as ``uint32[..., L]``.  16-bit limbs make every partial product
+    ``a_i * b_j < 2**32`` exactly representable in uint32 — no add-with-carry
+    instruction is needed, which is the key constraint of the TPU's 32-bit
+    vector ISA (see SURVEY.md §7.4).
+  * Multiplication is schoolbook convolution (outer product + anti-diagonal
+    sums, each column < 2**21 so lazy carries fit) followed by a 16-iteration
+    Montgomery reduction (R = 2**256).  Everything is branchless and batched
+    over arbitrary leading axes, so XLA vectorizes the batch across VPU lanes.
+  * Exponentiation (inverse, sqrt) runs as a ``lax.scan`` over a static bit
+    array so the HLO stays compact.
+
+Semantics match the reference's `ff`-derived field exactly: little-endian
+byte/limb order, plain modular arithmetic (reference:
+src/blockchain/tx/owshen_airdrop/babyjubjub/mod.rs:7-11).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+W = 16  # bits per limb
+MASK = (1 << W) - 1
+
+# BN254 scalar field (Fr) modulus — the reference's `Fp`
+# (babyjubjub/mod.rs:8).  Also the base field of BabyJubJub.
+P_FR = 21888242871839275222246405745257275088548364400416034343698204186575808495617
+# BN254 base field (Fq) modulus — coordinate field of G1; needed for
+# Groth16 commitments (net-new vs the reference snapshot, see SURVEY.md §0).
+P_FQ = 21888242871839275222246405745257275088696311157297823662689037894645226208583
+
+
+def int_to_limbs(x: int, L: int = 16) -> np.ndarray:
+    """Little-endian W-bit limb decomposition of a Python int."""
+    out = np.zeros(L, dtype=np.uint32)
+    for i in range(L):
+        out[i] = (x >> (W * i)) & MASK
+    return out
+
+
+def limbs_to_int(limbs) -> int:
+    limbs = np.asarray(limbs, dtype=np.uint64)
+    return sum(int(v) << (W * i) for i, v in enumerate(limbs.reshape(-1)))
+
+
+def ints_to_array(xs: Sequence[int], L: int = 16) -> np.ndarray:
+    """[ints] -> uint32[len(xs), L]."""
+    return np.stack([int_to_limbs(int(x), L) for x in xs]).astype(np.uint32)
+
+
+def array_to_ints(a) -> list[int]:
+    a = np.asarray(jax.device_get(a))
+    flat = a.reshape(-1, a.shape[-1])
+    return [limbs_to_int(row) for row in flat]
+
+
+def _carry_canon(cols, n_out):
+    """Propagate carries over accumulated columns (< 2**31 each).
+
+    Returns (limbs uint32[..., n_out] each < 2**W, carry_out uint32[...]).
+    """
+    limbs = []
+    carry = jnp.zeros(cols.shape[:-1], jnp.uint32)
+    k = cols.shape[-1]
+    for i in range(n_out):
+        v = (cols[..., i] if i < k else 0) + carry
+        limbs.append(v & MASK)
+        carry = v >> W
+    return jnp.stack(limbs, axis=-1), carry
+
+
+class Field:
+    """A prime field instance with batched jnp ops (Montgomery domain).
+
+    All binary ops take/return uint32[..., L] arrays.  Unless noted, values
+    are in Montgomery form (x*R mod p); `to_mont`/`from_mont` convert.
+    """
+
+    def __init__(self, name: str, p: int, L: int = 16):
+        assert p < (1 << (W * L))
+        self.name = name
+        self.p = p
+        self.L = L
+        self.R = (1 << (W * L)) % p
+        self.R2 = (self.R * self.R) % p
+        self.n0 = (-pow(p, -1, 1 << W)) % (1 << W)
+        self.p_limbs = int_to_limbs(p, L)
+        self.zero = np.zeros(L, np.uint32)
+        self.one_mont = int_to_limbs(self.R, L)
+        self.two_adicity = (p - 1 & -(p - 1)).bit_length() - 1
+        # generator 7 matches the reference (babyjubjub/mod.rs:9); fall back
+        # to a search if 7 is not a generator of this field.
+        self.generator = self._find_generator()
+        self._inv_bits = _exp_bits(p - 2)
+
+    def _find_generator(self) -> int:
+        # factorization-free check: enough for our two moduli where
+        # (p-1)/2^s is prime times small factors; verify via p-1 order tests
+        for g in (7, 5, 3, 2, 6, 10, 11, 13):
+            if pow(g, (self.p - 1) // 2, self.p) == self.p - 1:
+                return g
+        raise ValueError("no generator found")
+
+    # ---------- host-side conversions ----------
+
+    def to_mont_int(self, x: int) -> int:
+        return (x * self.R) % self.p
+
+    def from_mont_int(self, x: int) -> int:
+        return (x * pow(self.R, -1, self.p)) % self.p
+
+    def encode(self, xs, mont: bool = True) -> np.ndarray:
+        """Python ints -> device limb array (Montgomery form by default)."""
+        if isinstance(xs, int):
+            xs = [xs]
+        xs = [self.to_mont_int(x % self.p) if mont else x % self.p for x in xs]
+        return ints_to_array(xs, self.L)
+
+    def decode(self, a, mont: bool = True) -> list[int]:
+        vals = array_to_ints(a)
+        if mont:
+            vals = [self.from_mont_int(v) for v in vals]
+        return vals
+
+    def const(self, x: int, mont: bool = True) -> np.ndarray:
+        """Single constant as uint32[L] (host numpy; safe to close over)."""
+        v = self.to_mont_int(x % self.p) if mont else x % self.p
+        return int_to_limbs(v, self.L)
+
+    # ---------- batched device ops ----------
+
+    def add(self, a, b):
+        s, carry = self._add_limbs(a, b)
+        return self._cond_sub_p(s, carry)
+
+    def sub(self, a, b):
+        d, borrow = self._sub_limbs(a, b)
+        d_plus, _ = self._add_limbs(d, jnp.asarray(self.p_limbs))
+        return jnp.where((borrow != 0)[..., None], d_plus, d)
+
+    def neg(self, a):
+        # p - a, with 0 -> 0 (sub handles the wraparound branchlessly)
+        return self.sub(jnp.zeros_like(a), a)
+
+    def double(self, a):
+        return self.add(a, a)
+
+    def _add_limbs(self, a, b):
+        a, b = jnp.broadcast_arrays(a, b)
+        cols = a.astype(jnp.uint32) + b.astype(jnp.uint32)
+        return _carry_canon(cols, self.L)
+
+    def _sub_limbs(self, a, b):
+        """a - b limbwise; returns (limbs, borrow_out). uint32 in, uint32 out."""
+        a, b = jnp.broadcast_arrays(a, b)
+        limbs = []
+        borrow = jnp.zeros(a.shape[:-1], jnp.int32)
+        for i in range(self.L):
+            t = a[..., i].astype(jnp.int32) - b[..., i].astype(jnp.int32) - borrow
+            under = (t < 0).astype(jnp.int32)
+            limbs.append((t + (under << W)).astype(jnp.uint32))
+            borrow = under
+        return jnp.stack(limbs, axis=-1), borrow.astype(jnp.uint32)
+
+    def _cond_sub_p(self, s, carry):
+        d, borrow = self._sub_limbs(s, jnp.asarray(self.p_limbs))
+        take_d = (carry != 0) | (borrow == 0)
+        return jnp.where(take_d[..., None], d, s)
+
+    def _wide_mul(self, a, b):
+        """Full 2L-limb product columns, carry-propagated to canonical 16-bit
+        limbs: returns uint32[..., 2L]."""
+        a, b = jnp.broadcast_arrays(a, b)
+        outer = a[..., :, None] * b[..., None, :]  # (..., L, L) < 2**32 exact
+        lo = outer & MASK
+        hi = outer >> W
+        L = self.L
+        # anti-diagonal sums: flip axis -2 so diagonals align with i+j=k
+        lo_f = lo[..., ::-1, :]
+        hi_f = hi[..., ::-1, :]
+        cols = []
+        for k in range(2 * L):
+            c = jnp.zeros(a.shape[:-1], jnp.uint32)
+            if k <= 2 * (L - 1):
+                d = jnp.diagonal(lo_f, offset=k - (L - 1), axis1=-2, axis2=-1)
+                c = c + jnp.sum(d, axis=-1)
+            if 1 <= k <= 2 * L - 1:
+                dh = jnp.diagonal(hi_f, offset=(k - 1) - (L - 1), axis1=-2, axis2=-1)
+                c = c + jnp.sum(dh, axis=-1)
+            cols.append(c)
+        cols = jnp.stack(cols, axis=-1)  # each < 2**21 + 2**21 < 2**22
+        limbs, _ = _carry_canon(cols, 2 * L)
+        return limbs
+
+    def mont_reduce(self, t):
+        """Montgomery reduction of a 2L-limb value (canonical 16-bit limbs):
+        returns (t * R^-1 mod p) as L canonical limbs."""
+        L = self.L
+        p_np = jnp.asarray(self.p_limbs)
+        n0 = jnp.uint32(self.n0)
+        t = t.astype(jnp.uint32)
+        # work array of 2L+1 columns with headroom (< 2**23 always)
+        t = jnp.concatenate([t, jnp.zeros(t.shape[:-1] + (1,), jnp.uint32)], -1)
+        for i in range(L):
+            ti = t[..., i] & MASK
+            m = (ti * n0) & MASK
+            mp = m[..., None] * p_np  # (..., L) each < 2**32
+            lo = mp & MASK
+            hi = mp >> W
+            t = t.at[..., i : i + L].add(lo)
+            t = t.at[..., i + 1 : i + 1 + L].add(hi)
+            # column i is now ≡ 0 mod 2**W; fold its carry into column i+1
+            t = t.at[..., i + 1].add(t[..., i] >> W)
+        res_cols = t[..., L : 2 * L + 1]
+        limbs, _ = _carry_canon(res_cols, L)
+        # result < 2p: one conditional subtract
+        d, borrow = self._sub_limbs(limbs, p_np)
+        return jnp.where((borrow == 0)[..., None], d, limbs)
+
+    def mul(self, a, b):
+        return self.mont_reduce(self._wide_mul(a, b))
+
+    def sqr(self, a):
+        return self.mul(a, a)
+
+    def to_mont(self, a):
+        return self.mul(a, jnp.asarray(int_to_limbs(self.R2, self.L)))
+
+    def from_mont(self, a):
+        pad = jnp.zeros(a.shape[:-1] + (self.L,), jnp.uint32)
+        return self.mont_reduce(jnp.concatenate([a, pad], axis=-1))
+
+    # ---------- predicates / selection ----------
+
+    def eq(self, a, b):
+        return jnp.all(a == b, axis=-1)
+
+    def is_zero(self, a):
+        return jnp.all(a == 0, axis=-1)
+
+    def select(self, cond, a, b):
+        """cond ? a : b  (cond boolean [...], broadcast over limb axis)."""
+        return jnp.where(cond[..., None], a, b)
+
+    # ---------- exponentiation ----------
+
+    def pow_const(self, x, exp: int):
+        """x ** exp for a static Python-int exponent, via lax.scan (compact HLO)."""
+        bits = _exp_bits(exp)
+        if bits.size == 0:
+            return jnp.broadcast_to(jnp.asarray(self.one_mont), x.shape)
+        one = jnp.broadcast_to(jnp.asarray(self.one_mont), x.shape)
+
+        def body(acc, bit):
+            acc = self.sqr(acc)
+            acc = self.select(bit != 0, self.mul(acc, x), acc)
+            return acc, None
+
+        acc, _ = jax.lax.scan(body, one, jnp.asarray(bits, jnp.uint32))
+        return acc
+
+    def inv(self, x):
+        """Batched inverse via Fermat (x^(p-2)); inv(0) = 0."""
+        return self.pow_const(x, self.p - 2)
+
+    def batch_inv(self, x):
+        """Montgomery batch inversion along the leading axis: one pow + 3(n-1)
+        muls. Zeros map to zeros. x: uint32[N, ..., L]."""
+        n = x.shape[0]
+        one = jnp.asarray(self.one_mont)
+        zmask = self.is_zero(x)
+        x_safe = self.select(zmask, jnp.broadcast_to(one, x.shape), x)
+
+        def fwd(carry, xi):
+            nxt = self.mul(carry, xi)
+            return nxt, carry  # prefix products (exclusive)
+
+        total, prefix = jax.lax.scan(fwd, jnp.broadcast_to(one, x.shape[1:]), x_safe)
+        inv_total = self.inv(total)
+
+        def bwd(carry, inp):
+            xi, pref = inp
+            invi = self.mul(carry, pref)
+            carry = self.mul(carry, xi)
+            return carry, invi
+
+        _, invs = jax.lax.scan(bwd, inv_total, (x_safe, prefix), reverse=True)
+        return self.select(zmask, jnp.zeros_like(x), invs)
+
+    def sqrt(self, x):
+        """Batched Tonelli–Shanks square root (branchless, fixed s iterations).
+
+        Returns (root, ok) where ok[...] indicates x was a QR. Root choice is
+        unspecified (caller canonicalizes by parity, as the reference does in
+        decompress, babyjubjub/mod.rs:88-98)."""
+        p, s = self.p, self.two_adicity
+        q = (p - 1) >> s
+        z = pow(self.generator, q, p)  # 2^s-th primitive root
+        c0 = jnp.asarray(self.const(z))
+        t = self.pow_const(x, q)
+        r = self.pow_const(x, (q + 1) // 2)
+        one = jnp.broadcast_to(jnp.asarray(self.one_mont), x.shape)
+        c = jnp.broadcast_to(c0, x.shape)
+
+        def body(carry, i):
+            r, t, c = carry
+            # t^(2^(i-1)); dynamic trip count keeps the scanned HLO compact
+            t_pow = jax.lax.fori_loop(0, i - 1, lambda _, v: self.sqr(v), t)
+            flip = ~self.eq(t_pow, one)
+            c2 = self.sqr(c)
+            r = self.select(flip, self.mul(r, c), r)
+            t = self.select(flip, self.mul(t, c2), t)
+            return (r, t, c2), None
+
+        (r, t, c), _ = jax.lax.scan(body, (r, t, c), jnp.arange(s - 1, 0, -1))
+        ok = self.eq(self.mul(r, r), x) | self.is_zero(x)
+        return r, ok
+
+    # ---------- misc ----------
+
+    def to_bits_le(self, a, n_bits: int | None = None):
+        """Canonical (non-Montgomery) limbs -> uint32[..., n_bits] of 0/1."""
+        n_bits = n_bits or (W * self.L)
+        bits = []
+        for i in range(n_bits):
+            limb = a[..., i // W]
+            bits.append((limb >> (i % W)) & 1)
+        return jnp.stack(bits, axis=-1)
+
+    def is_odd(self, a):
+        """Parity of the canonical integer value. `a` must be non-Montgomery."""
+        return (a[..., 0] & 1) == 1
+
+
+def _exp_bits(exp: int) -> np.ndarray:
+    """MSB-first bit array of a positive int."""
+    if exp == 0:
+        return np.zeros(0, np.uint32)
+    nb = exp.bit_length()
+    return np.array([(exp >> (nb - 1 - i)) & 1 for i in range(nb)], np.uint32)
+
+
+@functools.lru_cache(maxsize=None)
+def get_field(name: str) -> Field:
+    if name == "fr":
+        return Field("fr", P_FR)
+    if name == "fq":
+        return Field("fq", P_FQ)
+    raise KeyError(name)
+
+
+FR = get_field("fr")
+FQ = get_field("fq")
