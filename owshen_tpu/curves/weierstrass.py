@@ -1,0 +1,149 @@
+"""Generic batched short-Weierstrass curve ops (y² = x³ + b, a = 0) in
+complete homogeneous projective coordinates.
+
+Uses the Renes–Costello–Batina 2015 complete formulas (algorithms 7 and 9
+for a = 0): branchless — identity (0:1:0), doubling, and mixed cases all
+flow through the same code path, which is what a TPU SIMD lane wants.
+Field-polymorphic: instantiate with the Fq ops for BN254 G1 or the Fq2 ops
+for G2 (net-new proving-path component per SURVEY.md §2.3 — the reference
+snapshot has no G1/G2 code)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+class Weierstrass:
+    """K: field-op object (Field or Fq2); b3: 3·b as a K constant array.
+
+    Points are (X, Y, Z) tuples of K-element arrays, batched over leading
+    axes.  Identity is (0 : 1 : 0)."""
+
+    def __init__(self, K, b3):
+        self.K = K
+        self.b3 = b3
+
+    def identity_like(self, x):
+        K = self.K
+        return (K.zeros_like(x), K.one_like(x), K.zeros_like(x))
+
+    def is_identity(self, p):
+        return self.K.is_zero(p[2])
+
+    def add(self, p, q):
+        """Complete addition (RCB15 algorithm 7, a=0): 12M + 2·b3-mul."""
+        K, b3 = self.K, jnp.asarray(self.b3)
+        X1, Y1, Z1 = p
+        X2, Y2, Z2 = q
+        t0 = K.mul(X1, X2)
+        t1 = K.mul(Y1, Y2)
+        t2 = K.mul(Z1, Z2)
+        t3 = K.mul(K.add(X1, Y1), K.add(X2, Y2))
+        t3 = K.sub(t3, K.add(t0, t1))            # X1Y2 + X2Y1
+        t4 = K.mul(K.add(Y1, Z1), K.add(Y2, Z2))
+        t4 = K.sub(t4, K.add(t1, t2))            # Y1Z2 + Y2Z1
+        t5 = K.mul(K.add(X1, Z1), K.add(X2, Z2))
+        t5 = K.sub(t5, K.add(t0, t2))            # X1Z2 + X2Z1
+        three_t0 = K.add(K.add(t0, t0), t0)
+        t2b = K.mul(t2, b3)
+        z3 = K.add(t1, t2b)
+        t1b = K.sub(t1, t2b)
+        y3 = K.mul(t5, b3)
+        X3 = K.sub(K.mul(t3, t1b), K.mul(t4, y3))
+        Y3 = K.add(K.mul(y3, three_t0), K.mul(t1b, z3))
+        Z3 = K.add(K.mul(z3, t4), K.mul(three_t0, t3))
+        return (X3, Y3, Z3)
+
+    def double(self, p):
+        """Complete doubling (RCB15 algorithm 9, a=0): 6M + 2S + 1·b3-mul."""
+        K, b3 = self.K, jnp.asarray(self.b3)
+        X, Y, Z = p
+        t0 = K.sqr(Y)
+        z3 = K.add(t0, t0)
+        z3 = K.add(z3, z3)
+        z3 = K.add(z3, z3)                        # 8Y²
+        t1 = K.mul(Y, Z)
+        t2 = K.mul(b3, K.sqr(Z))
+        X3 = K.mul(t2, z3)
+        Y3 = K.add(t0, t2)
+        Z3 = K.mul(t1, z3)
+        t1 = K.add(t2, t2)
+        t2 = K.add(t1, t2)                        # 3·b3·Z²
+        t0 = K.sub(t0, t2)
+        Y3 = K.add(X3, K.mul(t0, Y3))
+        t1 = K.mul(X, Y)
+        X3 = K.mul(t0, t1)
+        X3 = K.add(X3, X3)
+        return (X3, Y3, Z3)
+
+    def neg(self, p):
+        X, Y, Z = p
+        return (X, self.K.neg(Y), Z)
+
+    def select(self, cond, p, q):
+        K = self.K
+        return tuple(K.select(cond, a, b) for a, b in zip(p, q))
+
+    def scalar_mul(self, p, bits):
+        """Batched double-and-add over MSB-first bit array bits[n_bits, ...].
+
+        Branchless conditional adds via select; runs as lax.scan."""
+        acc = self.identity_like(p[0])
+
+        def body(acc, bit):
+            acc = self.double(acc)
+            added = self.add(acc, p)
+            acc = self.select(bit != 0, added, acc)
+            return acc, None
+
+        acc, _ = jax.lax.scan(body, acc, bits)
+        return acc
+
+    def to_affine(self, p):
+        """(X/Z, Y/Z) with identity mapped to (0, 0)."""
+        K = self.K
+        X, Y, Z = p
+        zinv = K.inv(Z)
+        return (K.mul(X, zinv), K.mul(Y, zinv))
+
+    def eq(self, p, q):
+        """Projective equality: X1Z2 == X2Z1 and Y1Z2 == Y2Z1 (and both
+        identity)."""
+        K = self.K
+        both_id = self.is_identity(p) & self.is_identity(q)
+        x_eq = K.eq(K.mul(p[0], q[2]), K.mul(q[0], p[2]))
+        y_eq = K.eq(K.mul(p[1], q[2]), K.mul(q[1], p[2]))
+        neither = ~self.is_identity(p) & ~self.is_identity(q)
+        return both_id | (neither & x_eq & y_eq)
+
+    def on_curve_affine(self, x, y):
+        """y² == x³ + b (b recovered from b3 host-side by the caller)."""
+        K = self.K
+        y2 = K.sqr(y)
+        x3 = K.mul(K.sqr(x), x)
+        # b = b3 / 3: precompute? Instead check 3y² == 3x³ + b3
+        three = lambda v: K.add(K.add(v, v), v)
+        return K.eq(three(y2), K.add(three(x3), jnp.broadcast_to(jnp.asarray(self.b3), x.shape)))
+
+    def sum_reduce(self, p, axis=0):
+        """Tree-reduce EC sum along `axis` (log₂ rounds of vectorized adds)."""
+        X, Y, Z = p
+        if axis != 0:
+            X, Y, Z = (jnp.moveaxis(a, axis, 0) for a in (X, Y, Z))
+        n = X.shape[0]
+        while n > 1:
+            half = n // 2
+            lo = (X[:half], Y[:half], Z[:half])
+            hi = (X[half : 2 * half], Y[half : 2 * half], Z[half : 2 * half])
+            s = self.add(lo, hi)
+            if n % 2:
+                tail = (X[n - 1 :], Y[n - 1 :], Z[n - 1 :])
+                s = (jnp.concatenate([s[0], tail[0]]),
+                     jnp.concatenate([s[1], tail[1]]),
+                     jnp.concatenate([s[2], tail[2]]))
+                n = half + 1
+            else:
+                n = half
+            X, Y, Z = s
+        return (X[0], Y[0], Z[0])

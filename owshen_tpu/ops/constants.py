@@ -94,9 +94,9 @@ def poseidon_params(t: int, p: int = P_FR):
     g = _Grain(t, r_f, r_p)
     n_consts = t * (r_f + r_p)
     C = [g.field_element(p) for _ in range(n_consts)]
-    # fresh Grain instance for the matrix, as in the reference generator
-    g2 = _Grain(t, r_f, r_p)
-    xs = [g2.field_element(p) for _ in range(t)]
-    ys = [g2.field_element(p) for _ in range(t)]
+    # MDS sampled from the *same* continuing Grain stream (verified against
+    # the published poseidonperm_x5_254_3 M[0][0])
+    xs = [g.field_element(p) for _ in range(t)]
+    ys = [g.field_element(p) for _ in range(t)]
     M = [[pow((xs[i] + ys[j]) % p, -1, p) for j in range(t)] for i in range(t)]
     return C, M

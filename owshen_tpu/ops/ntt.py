@@ -1,0 +1,115 @@
+"""Radix-2 NTT over BN254 Fr (batched limb arithmetic, jnp).
+
+Net-new proving-path component (SURVEY.md §2.3: absent from the reference
+snapshot; BASELINE config 3): QAP witness→coefficient conversion for Groth16.
+
+TPU-first shape: the transform is an iterative DIT over log₂n fully
+vectorized butterfly stages — each stage is one batched Montgomery multiply +
+add/sub over the whole coefficient array (VPU-friendly, no scalar loops).
+Twiddle tables are built on device by block-doubling (log₂n small host pows).
+The multi-chip 4-step (Bailey) decomposition with all-to-all exchange lives
+in parallel/ntt_dist.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields.field import FR, Field
+
+
+def _bitrev_indices(log_n: int) -> np.ndarray:
+    n = 1 << log_n
+    idx = np.arange(n, dtype=np.uint32)
+    rev = np.zeros(n, dtype=np.uint32)
+    for i in range(log_n):
+        rev = (rev << 1) | ((idx >> i) & 1)
+    return rev.astype(np.int32)
+
+
+def powers_device(F: Field, base: int, n: int):
+    """[1, base, base², …, base^(n-1)] as a Montgomery device array, built by
+    log₂n block-doubling mults (host does only log₂n scalar pows)."""
+    arr = jnp.asarray(F.encode([1]))
+    m = 1
+    while m < n:
+        step = jnp.asarray(F.const(pow(base, m, F.p)))
+        arr = jnp.concatenate([arr, F.mul(arr, step)], axis=0)
+        m *= 2
+    return arr[:n]
+
+
+class NttDomain:
+    """Power-of-two evaluation domain over Fr with cached twiddle tables."""
+
+    def __init__(self, log_n: int, field: Field = FR):
+        assert log_n <= field.two_adicity
+        self.F = field
+        self.log_n = log_n
+        self.n = 1 << log_n
+        p = field.p
+        self.omega = pow(field.generator, (p - 1) >> log_n, p)
+        self.omega_inv = pow(self.omega, -1, p)
+        self.n_inv = pow(self.n, -1, p)
+        self._bitrev = jnp.asarray(_bitrev_indices(log_n))
+
+    @functools.cached_property
+    def pows(self):
+        return powers_device(self.F, self.omega, max(self.n // 2, 1))
+
+    @functools.cached_property
+    def pows_inv(self):
+        return powers_device(self.F, self.omega_inv, max(self.n // 2, 1))
+
+    def _transform(self, x, pows):
+        """x: uint32[n, L] Montgomery -> NTT along axis 0 (natural in/out)."""
+        F, n, log_n = self.F, self.n, self.log_n
+        x = jnp.take(x, self._bitrev, axis=0)
+        for s in range(1, log_n + 1):
+            m = 1 << s
+            half = m // 2
+            w = pows[:: n // m][:half]  # ω_m^j for j < half
+            y = x.reshape(n // m, m, F.L)
+            a, b = y[:, :half], y[:, half:]
+            t = F.mul(b, w[None])
+            x = jnp.concatenate([F.add(a, t), F.sub(a, t)], axis=1).reshape(n, F.L)
+        return x
+
+    def ntt(self, x):
+        return self._transform(x, self.pows)
+
+    def intt(self, x):
+        y = self._transform(x, self.pows_inv)
+        n_inv = jnp.asarray(self.F.const(self.n_inv))
+        return self.F.mul(y, n_inv[None])
+
+    # ---- coset transforms (for h(x) = (AB - C)/Z on a coset, Groth16) ----
+
+    @functools.cached_property
+    def coset_gen(self) -> int:
+        return self.F.generator  # multiplicative generator is outside H
+
+    @functools.cached_property
+    def coset_pows(self):
+        return powers_device(self.F, self.coset_gen, self.n)
+
+    @functools.cached_property
+    def coset_pows_inv(self):
+        return powers_device(self.F, pow(self.coset_gen, -1, self.F.p), self.n)
+
+    def coset_ntt(self, coeffs):
+        """Evaluate polynomial (coeff form) on the coset g·H."""
+        return self.ntt(self.F.mul(coeffs, self.coset_pows))
+
+    def coset_intt(self, evals):
+        """Inverse: coset evaluations -> coefficient form."""
+        return self.F.mul(self.intt(evals), self.coset_pows_inv)
+
+    def z_on_coset_inv(self) -> int:
+        """1 / Z_H(g) where Z_H(x) = x^n - 1 (constant on the coset)."""
+        p = self.F.p
+        return pow((pow(self.coset_gen, self.n, p) - 1) % p, -1, p)

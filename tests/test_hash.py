@@ -27,8 +27,12 @@ def test_mimc_constants_keccak_chain():
     cts = mimc7_constants()
     assert cts[0] == 0
     assert len(cts) == 91
-    # c[1] = keccak256("mimc") reduced mod p
-    assert cts[1] == 0xB6E489E6B37224A50BEBFDDBE7D89FA8FDCAA84304A70BD13F79B5D9F7951E9E % FR.p
+    # c[1] = keccak256(keccak256("mimc")) reduced mod p (circomlib chain:
+    # cts[0]=0, then one extra keccak application per index)
+    from owshen_tpu.ops.keccak import keccak256
+    k1 = keccak256(b"mimc")
+    assert k1.hex() == "b6e489e6b37224a50bebfddbe7d89fa8fdcaa84304a70bd13f79b5d9f7951e9e"
+    assert cts[1] == int.from_bytes(keccak256(k1), "big") % FR.p
 
 
 def test_mimc7_vs_oracle():

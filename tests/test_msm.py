@@ -1,0 +1,94 @@
+"""MSM gates: segmented-scan machinery + Pippenger vs naive oracle sum."""
+
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from owshen_tpu.curves import bn254
+from owshen_tpu.fields.field import FR, ints_to_array
+from owshen_tpu.ops.msm import msm, segmented_scan, plain_scan
+from owshen_tpu.oracle import curve as ocurve
+
+rng = random.Random(11)
+
+
+def _g1_points(ks):
+    return [ocurve.G1.mul(ocurve.G1_GEN, k) for k in ks]
+
+
+def test_segmented_scan_small():
+    ks = [rng.randrange(100) + 1 for _ in range(16)]
+    pts = _g1_points(ks)
+    dev = bn254.g1_encode(pts)
+    flags = np.zeros(16, bool)
+    flags[[0, 3, 9]] = True
+    outs, outf = jax.jit(
+        lambda p, f: segmented_scan(bn254.G1, p, f, chunk=4)
+    )(dev, jnp.asarray(flags))
+    got = bn254.g1_decode(outs)
+    # oracle: per-segment running sums
+    want = []
+    seg = None
+    for i in range(16):
+        seg = 0 if flags[i] else seg
+        seg += ks[i]
+        want.append(ocurve.G1.mul(ocurve.G1_GEN, seg))
+    assert got == want
+    assert np.asarray(outf).all()
+
+
+def test_plain_scan():
+    ks = [rng.randrange(50) for _ in range(8)]
+    dev = bn254.g1_encode(_g1_points(ks))
+    outs = plain_scan(bn254.G1, dev, chunk=4)
+    got = bn254.g1_decode(outs)
+    run = np.cumsum(ks)
+    want = [ocurve.G1.mul(ocurve.G1_GEN, int(s)) for s in run]
+    assert got == want
+
+
+def test_msm_vs_oracle():
+    n = 32
+    ks = [rng.randrange(1000) for _ in range(n)]
+    scalars = [rng.randrange(FR.p) for _ in range(n)]
+    scalars[0] = 0  # exercise zero scalar
+    scalars[1] = FR.p - 1
+    pts = _g1_points(ks)
+    dev_pts = bn254.g1_encode(pts)
+    dev_sc = ints_to_array(scalars)
+    got = bn254.g1_decode(
+        tuple(x[None] for x in jax.jit(
+            lambda p, s: msm(bn254.G1, p, s, c=8, chunk=8)
+        )(dev_pts, dev_sc))
+    )[0]
+    want = ocurve.G1.msm(pts, scalars)
+    assert got == want
+
+
+def test_msm_c16():
+    n = 16
+    scalars = [rng.randrange(FR.p) for _ in range(n)]
+    pts = _g1_points([rng.randrange(500) + 1 for _ in range(n)])
+    got = bn254.g1_decode(
+        tuple(x[None] for x in jax.jit(
+            lambda p, s: msm(bn254.G1, p, s, c=16, chunk=8)
+        )(bn254.g1_encode(pts), ints_to_array(scalars)))
+    )[0]
+    assert got == ocurve.G1.msm(pts, scalars)
+
+
+def test_msm_g2():
+    n = 8
+    scalars = [rng.randrange(FR.p) for _ in range(n)]
+    pts = [ocurve.G2.mul(ocurve.G2_GEN, rng.randrange(100) + 1) for _ in range(n)]
+    got = bn254.g2_decode(
+        tuple(x[None] for x in jax.jit(
+            lambda p, s: msm(bn254.G2, p, s, c=8, chunk=4)
+        )(bn254.g2_encode(pts), ints_to_array(scalars)))
+    )[0]
+    want = None
+    for pt, s in zip(pts, scalars):
+        want = ocurve.G2.add(want, ocurve.G2.mul(pt, s))
+    assert got == want
