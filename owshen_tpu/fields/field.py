@@ -65,16 +65,60 @@ def array_to_ints(a) -> list[int]:
 def _carry_canon(cols, n_out):
     """Propagate carries over accumulated columns (< 2**31 each).
 
-    Returns (limbs uint32[..., n_out] each < 2**W, carry_out uint32[...]).
-    """
-    limbs = []
-    carry = jnp.zeros(cols.shape[:-1], jnp.uint32)
+    Runs as a lax.scan along the column axis so the HLO stays one small
+    body regardless of limb count (compile time matters: every kernel in
+    the framework inlines this).  Returns (limbs uint32[..., n_out] each
+    < 2**W, carry_out uint32[...])."""
     k = cols.shape[-1]
-    for i in range(n_out):
-        v = (cols[..., i] if i < k else 0) + carry
-        limbs.append(v & MASK)
-        carry = v >> W
-    return jnp.stack(limbs, axis=-1), carry
+    if k < n_out:
+        pad = jnp.zeros(cols.shape[:-1] + (n_out - k,), jnp.uint32)
+        cols = jnp.concatenate([cols, pad], axis=-1)
+    elif k > n_out:
+        cols = cols[..., :n_out]
+    cols_t = jnp.moveaxis(cols, -1, 0)
+
+    def body(carry, c):
+        v = c + carry
+        return v >> W, v & MASK
+
+    carry, limbs = jax.lax.scan(body, jnp.zeros(cols.shape[:-1], jnp.uint32),
+                                cols_t)
+    return jnp.moveaxis(limbs, 0, -1), carry
+
+
+@functools.lru_cache(maxsize=None)
+def _conv_matrix(L: int, n_cols: int) -> np.ndarray:
+    """One-hot matrix turning flattened (lo, hi) partial products into
+    column sums: row (i*L+j) -> col i+j for lo, col i+j+1 for hi.
+
+    The anti-diagonal reduction of schoolbook multiplication becomes ONE
+    integer matmul (uint32[..., 2L²] @ uint32[2L², n_cols]) — the shape XLA
+    compiles fast and the TPU executes wide, instead of 2L diagonal
+    extractions."""
+    S = np.zeros((2 * L * L, n_cols), np.uint32)
+    for i in range(L):
+        for j in range(L):
+            if i + j < n_cols:
+                S[i * L + j, i + j] = 1
+            if i + j + 1 < n_cols:
+                S[L * L + i * L + j, i + j + 1] = 1
+    return S
+
+
+def _prod_cols(a, b, n_cols: int):
+    """Column sums of the schoolbook product of W-bit limb arrays.
+
+    a, b: uint32[..., L] with limbs < 2**W.  Each partial product fits
+    uint32 exactly; each column sums ≤ 2L halves < 2**(W+6).  Returns
+    uint32[..., n_cols]."""
+    a, b = jnp.broadcast_arrays(a, b)
+    L = a.shape[-1]
+    outer = a[..., :, None] * b[..., None, :]            # (..., L, L)
+    lo = (outer & MASK).reshape(a.shape[:-1] + (L * L,))
+    hi = (outer >> W).reshape(a.shape[:-1] + (L * L,))
+    flat = jnp.concatenate([lo, hi], axis=-1)            # (..., 2L²)
+    S = jnp.asarray(_conv_matrix(L, n_cols))
+    return flat @ S
 
 
 class Field:
@@ -92,6 +136,9 @@ class Field:
         self.R = (1 << (W * L)) % p
         self.R2 = (self.R * self.R) % p
         self.n0 = (-pow(p, -1, 1 << W)) % (1 << W)
+        # full-width N' = -p^{-1} mod R for one-shot Montgomery reduction
+        self.nprime = (-pow(p, -1, 1 << (W * L))) % (1 << (W * L))
+        self.nprime_limbs = int_to_limbs(self.nprime, L)
         self.p_limbs = int_to_limbs(p, L)
         self.zero = np.zeros(L, np.uint32)
         self.one_mont = int_to_limbs(self.R, L)
@@ -161,14 +208,18 @@ class Field:
     def _sub_limbs(self, a, b):
         """a - b limbwise; returns (limbs, borrow_out). uint32 in, uint32 out."""
         a, b = jnp.broadcast_arrays(a, b)
-        limbs = []
-        borrow = jnp.zeros(a.shape[:-1], jnp.int32)
-        for i in range(self.L):
-            t = a[..., i].astype(jnp.int32) - b[..., i].astype(jnp.int32) - borrow
+        at = jnp.moveaxis(a, -1, 0).astype(jnp.int32)
+        bt = jnp.moveaxis(b, -1, 0).astype(jnp.int32)
+
+        def body(borrow, ab):
+            ai, bi = ab
+            t = ai - bi - borrow
             under = (t < 0).astype(jnp.int32)
-            limbs.append((t + (under << W)).astype(jnp.uint32))
-            borrow = under
-        return jnp.stack(limbs, axis=-1), borrow.astype(jnp.uint32)
+            return under, (t + (under << W)).astype(jnp.uint32)
+
+        borrow, limbs = jax.lax.scan(
+            body, jnp.zeros(a.shape[:-1], jnp.int32), (at, bt))
+        return jnp.moveaxis(limbs, 0, -1), borrow.astype(jnp.uint32)
 
     def _cond_sub_p(self, s, carry):
         d, borrow = self._sub_limbs(s, jnp.asarray(self.p_limbs))
@@ -178,55 +229,41 @@ class Field:
     def _wide_mul(self, a, b):
         """Full 2L-limb product columns, carry-propagated to canonical 16-bit
         limbs: returns uint32[..., 2L]."""
-        a, b = jnp.broadcast_arrays(a, b)
-        outer = a[..., :, None] * b[..., None, :]  # (..., L, L) < 2**32 exact
-        lo = outer & MASK
-        hi = outer >> W
-        L = self.L
-        # anti-diagonal sums: flip axis -2 so diagonals align with i+j=k
-        lo_f = lo[..., ::-1, :]
-        hi_f = hi[..., ::-1, :]
-        cols = []
-        for k in range(2 * L):
-            c = jnp.zeros(a.shape[:-1], jnp.uint32)
-            if k <= 2 * (L - 1):
-                d = jnp.diagonal(lo_f, offset=k - (L - 1), axis1=-2, axis2=-1)
-                c = c + jnp.sum(d, axis=-1)
-            if 1 <= k <= 2 * L - 1:
-                dh = jnp.diagonal(hi_f, offset=(k - 1) - (L - 1), axis1=-2, axis2=-1)
-                c = c + jnp.sum(dh, axis=-1)
-            cols.append(c)
-        cols = jnp.stack(cols, axis=-1)  # each < 2**21 + 2**21 < 2**22
-        limbs, _ = _carry_canon(cols, 2 * L)
+        cols = _prod_cols(a, b, 2 * self.L)
+        limbs, _ = _carry_canon(cols, 2 * self.L)
         return limbs
 
     def mont_reduce(self, t):
-        """Montgomery reduction of a 2L-limb value (canonical 16-bit limbs):
-        returns (t * R^-1 mod p) as L canonical limbs."""
+        """One-shot Montgomery reduction of a 2L-limb value t < R·p
+        (canonical 16-bit limbs): returns (t·R⁻¹ mod p) as L limbs.
+
+        m = (t mod R)·N′ mod R;  u = t + m·p  (≡ 0 mod R);  result = u/R,
+        then one conditional subtract (u/R < 2p).  Unlike word-serial CIOS
+        this has no 16-deep dependency chain — both products are single
+        batched column-matmuls, which is what the TPU wants and what keeps
+        XLA compile time sane."""
         L = self.L
-        p_np = jnp.asarray(self.p_limbs)
-        n0 = jnp.uint32(self.n0)
         t = t.astype(jnp.uint32)
-        # work array of 2L+1 columns with headroom (< 2**23 always)
-        t = jnp.concatenate([t, jnp.zeros(t.shape[:-1] + (1,), jnp.uint32)], -1)
-        for i in range(L):
-            ti = t[..., i] & MASK
-            m = (ti * n0) & MASK
-            mp = m[..., None] * p_np  # (..., L) each < 2**32
-            lo = mp & MASK
-            hi = mp >> W
-            t = t.at[..., i : i + L].add(lo)
-            t = t.at[..., i + 1 : i + 1 + L].add(hi)
-            # column i is now ≡ 0 mod 2**W; fold its carry into column i+1
-            t = t.at[..., i + 1].add(t[..., i] >> W)
-        res_cols = t[..., L : 2 * L + 1]
-        limbs, _ = _carry_canon(res_cols, L)
-        # result < 2p: one conditional subtract
-        d, borrow = self._sub_limbs(limbs, p_np)
+        t_lo = t[..., :L]
+        # m = t_lo * N' mod R: low-half product columns, carries propagated
+        # within L limbs (carry out discarded — arithmetic is mod R)
+        m_cols = _prod_cols(t_lo, jnp.asarray(self.nprime_limbs), L)
+        m, _ = _carry_canon(m_cols, L)
+        # u = t + m*p exactly; low L limbs are ≡ 0, u / R < 2p fits L limbs
+        mp_cols = _prod_cols(m, jnp.asarray(self.p_limbs), 2 * L)
+        u_cols = mp_cols + t  # col sums < 2**22 + 2**16
+        u, _ = _carry_canon(u_cols, 2 * L)
+        limbs = u[..., L:]
+        d, borrow = self._sub_limbs(limbs, jnp.asarray(self.p_limbs))
         return jnp.where((borrow == 0)[..., None], d, limbs)
 
     def mul(self, a, b):
-        return self.mont_reduce(self._wide_mul(a, b))
+        """Montgomery product: one fused column-matmul pipeline (the hottest
+        op in the framework — everything above is compositions of this)."""
+        L = self.L
+        ab_cols = _prod_cols(a, b, 2 * L)
+        t, _ = _carry_canon(ab_cols, 2 * L)
+        return self.mont_reduce(t)
 
     def sqr(self, a):
         return self.mul(a, a)

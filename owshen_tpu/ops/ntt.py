@@ -66,17 +66,22 @@ class NttDomain:
         return powers_device(self.F, self.omega_inv, max(self.n // 2, 1))
 
     def _transform(self, x, pows):
-        """x: uint32[n, L] Montgomery -> NTT along axis 0 (natural in/out)."""
+        """x: uint32[n, ..., L] Montgomery -> NTT along axis 0 (natural
+        in/out); trailing axes are batch (vectorized across VPU lanes)."""
         F, n, log_n = self.F, self.n, self.log_n
+        rest = x.shape[1:]
         x = jnp.take(x, self._bitrev, axis=0)
         for s in range(1, log_n + 1):
             m = 1 << s
             half = m // 2
             w = pows[:: n // m][:half]  # ω_m^j for j < half
-            y = x.reshape(n // m, m, F.L)
+            # align w (half, L) against b (n//m, half, *batch, L)
+            w = w.reshape((1, half) + (1,) * (len(rest) - 1) + (F.L,))
+            y = x.reshape((n // m, m) + rest)
             a, b = y[:, :half], y[:, half:]
-            t = F.mul(b, w[None])
-            x = jnp.concatenate([F.add(a, t), F.sub(a, t)], axis=1).reshape(n, F.L)
+            t = F.mul(b, w)
+            x = jnp.concatenate([F.add(a, t), F.sub(a, t)], axis=1)
+            x = x.reshape((n,) + rest)
         return x
 
     def ntt(self, x):
