@@ -69,12 +69,12 @@ def add(p, q):
     b = F.sqr(a)
     c = F.mul(X1, X2)
     d = F.mul(Y1, Y2)
-    e = F.mul(jnp.asarray(_D_mont), F.mul(c, d))
+    e = F.mul_const(F.mul(c, d), D)
     f = F.sub(b, e)
     g = F.add(b, e)
     x_part = F.sub(F.mul(F.add(X1, Y1), F.add(X2, Y2)), F.add(c, d))
     X3 = F.mul(F.mul(a, f), x_part)
-    Y3 = F.mul(F.mul(a, g), F.sub(d, F.mul(jnp.asarray(_A_mont), c)))
+    Y3 = F.mul(F.mul(a, g), F.sub(d, F.mul_const(c, A)))
     Z3 = F.mul(f, g)
     return (X3, Y3, Z3)
 
@@ -86,7 +86,7 @@ def double(p):
     b = F.sqr(F.add(X1, Y1))
     c = F.sqr(X1)
     d = F.sqr(Y1)
-    e = F.mul(jnp.asarray(_A_mont), c)
+    e = F.mul_const(c, A)
     f = F.add(e, d)
     h = F.sqr(Z1)
     j = F.sub(f, F.add(h, h))
@@ -137,9 +137,9 @@ def eq(p, q):
 def on_curve_affine(x, y):
     """a·x² + y² == 1 + d·x²·y² (reference mod.rs:47-49)."""
     x2, y2 = F.sqr(x), F.sqr(y)
-    lhs = F.add(F.mul(jnp.asarray(_A_mont), x2), y2)
+    lhs = F.add(F.mul_const(x2, A), y2)
     one = jnp.broadcast_to(jnp.asarray(F.one_mont), x.shape)
-    rhs = F.add(one, F.mul(jnp.asarray(_D_mont), F.mul(x2, y2)))
+    rhs = F.add(one, F.mul_const(F.mul(x2, y2), D))
     return F.eq(lhs, rhs)
 
 
@@ -156,8 +156,8 @@ def decompress(x_plain, odd):
     x = F.to_mont(x_plain)
     x2 = F.sqr(x)
     one = jnp.broadcast_to(jnp.asarray(F.one_mont), x.shape)
-    num = F.sub(one, F.mul(jnp.asarray(_A_mont), x2))
-    den = F.sub(one, F.mul(jnp.asarray(_D_mont), x2))
+    num = F.sub(one, F.mul_const(x2, A))
+    den = F.sub(one, F.mul_const(x2, D))
     y2 = F.mul(num, F.inv(den))
     y, ok = F.sqrt(y2)
     y_parity = F.is_odd(F.from_mont(y))

@@ -66,9 +66,10 @@ def _check_generators():
 
 _check_generators()
 
-# device curve instances
-G1 = Weierstrass(FQ, FQ.const(3 * B_G1))
-G2 = Weierstrass(FQ2, FQ2.const((3 * B_G2[0]) % Q, (3 * B_G2[1]) % Q))
+# device curve instances (b3 passed as plain ints: multiplications by it
+# ride the banded fixed-multiplier path)
+G1 = Weierstrass(FQ, 3 * B_G1)
+G2 = Weierstrass(FQ2, ((3 * B_G2[0]) % Q, (3 * B_G2[1]) % Q))
 
 
 # ---------- host <-> device point conversion ----------
@@ -86,7 +87,7 @@ def g1_encode(points):
 
 def g1_decode(p):
     """Projective device point(s) -> [(x, y) ints or None]."""
-    xs, ys = G1.to_affine(p)
+    xs, ys = G1.to_affine_jit(p)
     zs_zero = np.asarray(G1.is_identity(p)).reshape(-1)
     xi, yi = FQ.decode(xs), FQ.decode(ys)
     return [None if z else (x, y) for x, y, z in zip(xi, yi, zs_zero)]
@@ -103,7 +104,7 @@ def g2_encode(points):
 
 
 def g2_decode(p):
-    xs, ys = G2.to_affine(p)
+    xs, ys = G2.to_affine_jit(p)
     zs_zero = np.asarray(G2.is_identity(p)).reshape(-1)
     xi, yi = FQ2.decode(xs), FQ2.decode(ys)
     return [None if z else (x, y) for x, y, z in zip(xi, yi, zs_zero)]

@@ -15,14 +15,17 @@ import jax.numpy as jnp
 
 
 class Weierstrass:
-    """K: field-op object (Field or Fq2); b3: 3·b as a K constant array.
+    """K: field-op object (Field or Fq2); b3: 3·b as a plain K constant
+    (int for Field, (c0, c1) ints for Fq2) — multiplications by it ride the
+    banded fixed-multiplier path (K.mul_const), not a full product.
 
     Points are (X, Y, Z) tuples of K-element arrays, batched over leading
     axes.  Identity is (0 : 1 : 0)."""
 
     def __init__(self, K, b3):
         self.K = K
-        self.b3 = b3
+        self.b3_int = b3
+        self.b3 = K.encode_const(b3)
 
     def identity_like(self, x):
         K = self.K
@@ -33,7 +36,7 @@ class Weierstrass:
 
     def add(self, p, q):
         """Complete addition (RCB15 algorithm 7, a=0): 12M + 2·b3-mul."""
-        K, b3 = self.K, jnp.asarray(self.b3)
+        K = self.K
         X1, Y1, Z1 = p
         X2, Y2, Z2 = q
         t0 = K.mul(X1, X2)
@@ -46,10 +49,10 @@ class Weierstrass:
         t5 = K.mul(K.add(X1, Z1), K.add(X2, Z2))
         t5 = K.sub(t5, K.add(t0, t2))            # X1Z2 + X2Z1
         three_t0 = K.add(K.add(t0, t0), t0)
-        t2b = K.mul(t2, b3)
+        t2b = K.mul_const(t2, self.b3_int)
         z3 = K.add(t1, t2b)
         t1b = K.sub(t1, t2b)
-        y3 = K.mul(t5, b3)
+        y3 = K.mul_const(t5, self.b3_int)
         X3 = K.sub(K.mul(t3, t1b), K.mul(t4, y3))
         Y3 = K.add(K.mul(y3, three_t0), K.mul(t1b, z3))
         Z3 = K.add(K.mul(z3, t4), K.mul(three_t0, t3))
@@ -57,14 +60,14 @@ class Weierstrass:
 
     def double(self, p):
         """Complete doubling (RCB15 algorithm 9, a=0): 6M + 2S + 1·b3-mul."""
-        K, b3 = self.K, jnp.asarray(self.b3)
+        K = self.K
         X, Y, Z = p
         t0 = K.sqr(Y)
         z3 = K.add(t0, t0)
         z3 = K.add(z3, z3)
         z3 = K.add(z3, z3)                        # 8Y²
         t1 = K.mul(Y, Z)
-        t2 = K.mul(b3, K.sqr(Z))
+        t2 = K.mul_const(K.sqr(Z), self.b3_int)
         X3 = K.mul(t2, z3)
         Y3 = K.add(t0, t2)
         Z3 = K.mul(t1, z3)
@@ -106,6 +109,13 @@ class Weierstrass:
         X, Y, Z = p
         zinv = K.inv(Z)
         return (K.mul(X, zinv), K.mul(Y, zinv))
+
+    def to_affine_jit(self, p):
+        """jit-cached to_affine (host decode helper; the 254-step inverse
+        exponentiation otherwise re-traces eagerly on every decode)."""
+        if not hasattr(self, "_to_affine_jit"):
+            self._to_affine_jit = jax.jit(self.to_affine)
+        return self._to_affine_jit(p)
 
     def eq(self, p, q):
         """Projective equality: X1Z2 == X2Z1 and Y1Z2 == Y2Z1 (and both

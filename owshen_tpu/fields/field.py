@@ -62,47 +62,92 @@ def array_to_ints(a) -> list[int]:
     return [limbs_to_int(row) for row in flat]
 
 
+def _shift_up(x, d: int):
+    """Move x[..., i] to position i+d along the last axis (zero-fill low,
+    drop high).  Static d, so XLA sees a pad+slice — no gather."""
+    pad = jnp.zeros(x.shape[:-1] + (d,), x.dtype)
+    return jnp.concatenate([pad, x[..., :-d]], axis=-1)
+
+
+def _resolve_chunk(cols):
+    """Exact carry resolution of a chunk of <= 30 columns, each <= 2**W + 1.
+
+    The 0/1 residual ripple after the fold rounds is a carry-lookahead
+    recurrence c_{i+1} = g_i | (p_i & c_i) with disjoint generate/propagate
+    bits (a column of 2**W has residue 0, so it can't also propagate).
+    Packing g/p into per-element uint32 bitfields turns the whole chain
+    into THREE scalar ops: cin = (P + 2G) ^ P — the SWAR carry trick,
+    brute-force-verified over all disjoint g/p patterns.  Returns
+    (limbs < 2**W, carry_out in {0,1})."""
+    n = cols.shape[-1]
+    assert n <= 30
+    v = cols & MASK
+    g = cols >> W                                   # 0/1
+    p = (v == MASK).astype(jnp.uint32)
+    w = jnp.asarray(np.uint32(1) << np.arange(n, dtype=np.uint32))
+    G = jnp.sum(g * w, axis=-1)
+    P = jnp.sum(p * w, axis=-1)
+    cin = (P + (G << 1)) ^ P                        # bit i = carry into limb i
+    shifts = jnp.asarray(np.arange(n, dtype=np.uint32))
+    cin_limbs = (cin[..., None] >> shifts) & 1
+    return (v + cin_limbs) & MASK, (cin >> n) & 1
+
+
 def _carry_canon(cols, n_out):
     """Propagate carries over accumulated columns (< 2**31 each).
 
-    Runs as a lax.scan along the column axis so the HLO stays one small
-    body regardless of limb count (compile time matters: every kernel in
-    the framework inlines this).  Returns (limbs uint32[..., n_out] each
-    < 2**W, carry_out uint32[...])."""
+    TPU-first: instead of a word-serial ripple (a 16/32-step lax.scan was
+    round 1's compile/runtime pathology), this is a *flat* unrolled
+    sequence of ~20 elementwise vector ops:
+
+      1. two fold rounds ``v & MASK  +  (v >> W) shifted up`` — after the
+         second round every column is <= 2**W, with only a 0/1 residual
+         ripple left;
+      2. SWAR carry-lookahead per <=24-limb chunk (see _resolve_chunk),
+         chunks chained through their carry bit.
+
+    No scan, no log-depth loop, fully fusable.  Precondition: the true
+    value must fit in n_out+1 limbs (carry_out <= 1) — true for every call
+    site (sums of two 256-bit values; products that fit 2L).  Returns
+    (limbs uint32[..., n_out] each < 2**W, carry_out uint32[...])."""
     k = cols.shape[-1]
-    if k < n_out:
-        pad = jnp.zeros(cols.shape[:-1] + (n_out - k,), jnp.uint32)
+    n = n_out + 1  # one extra limb catches the carry out
+    if k < n:
+        pad = jnp.zeros(cols.shape[:-1] + (n - k,), jnp.uint32)
         cols = jnp.concatenate([cols, pad], axis=-1)
-    elif k > n_out:
-        cols = cols[..., :n_out]
-    cols_t = jnp.moveaxis(cols, -1, 0)
+    elif k > n:
+        cols = cols[..., :n]
+    # fold rounds: cols < 2**31 -> (<= 2**16 + 2**15) -> (<= 2**16)
+    for _ in range(2):
+        cols = (cols & MASK) + _shift_up(cols >> W, 1)
+    parts = []
+    carry = None
+    start = 0
+    while start < n:
+        size = min(24, n - start)
+        chunk = cols[..., start:start + size]
+        if carry is not None:
+            chunk = chunk.at[..., 0].add(carry)
+        part, carry = _resolve_chunk(chunk)
+        parts.append(part)
+        start += size
+    out = jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
+    return out[..., :n_out], out[..., n_out]
 
-    def body(carry, c):
-        v = c + carry
-        return v >> W, v & MASK
 
-    carry, limbs = jax.lax.scan(body, jnp.zeros(cols.shape[:-1], jnp.uint32),
-                                cols_t)
-    return jnp.moveaxis(limbs, 0, -1), carry
+def _antidiag_sums(m):
+    """Anti-diagonal column sums of m: uint32[..., L, L] ->
+    uint32[..., 2L-1] with out[k] = Σ_{i+j=k} m[i, j].
 
-
-@functools.lru_cache(maxsize=None)
-def _conv_matrix(L: int, n_cols: int) -> np.ndarray:
-    """One-hot matrix turning flattened (lo, hi) partial products into
-    column sums: row (i*L+j) -> col i+j for lo, col i+j+1 for hi.
-
-    The anti-diagonal reduction of schoolbook multiplication becomes ONE
-    integer matmul (uint32[..., 2L²] @ uint32[2L², n_cols]) — the shape XLA
-    compiles fast and the TPU executes wide, instead of 2L diagonal
-    extractions."""
-    S = np.zeros((2 * L * L, n_cols), np.uint32)
-    for i in range(L):
-        for j in range(L):
-            if i + j < n_cols:
-                S[i * L + j, i + j] = 1
-            if i + j + 1 < n_cols:
-                S[L * L + i * L + j, i + j + 1] = 1
-    return S
+    Skew-by-reshape: pad each row to width 2L, flatten, truncate L
+    elements, re-view with width 2L-1 — row i is now shifted right by i,
+    so one sum over the row axis yields all anti-diagonals.  Pure
+    pad/reshape/reduce: no matmul, no gather, optimal adds."""
+    L = m.shape[-1]
+    pad = jnp.zeros(m.shape[:-1] + (L,), m.dtype)
+    flat = jnp.concatenate([m, pad], axis=-1).reshape(m.shape[:-2] + (2 * L * L,))
+    skew = flat[..., : L * (2 * L - 1)].reshape(m.shape[:-2] + (L, 2 * L - 1))
+    return skew.sum(axis=-2)
 
 
 def _prod_cols(a, b, n_cols: int):
@@ -114,11 +159,51 @@ def _prod_cols(a, b, n_cols: int):
     a, b = jnp.broadcast_arrays(a, b)
     L = a.shape[-1]
     outer = a[..., :, None] * b[..., None, :]            # (..., L, L)
-    lo = (outer & MASK).reshape(a.shape[:-1] + (L * L,))
-    hi = (outer >> W).reshape(a.shape[:-1] + (L * L,))
-    flat = jnp.concatenate([lo, hi], axis=-1)            # (..., 2L²)
-    S = jnp.asarray(_conv_matrix(L, n_cols))
-    return flat @ S
+    lo = _antidiag_sums(outer & MASK)                    # cols i+j
+    hi = _antidiag_sums(outer >> W)                      # cols i+j+1
+    ext = n_cols - (2 * L - 1)
+    if ext > 0:
+        zpad = jnp.zeros(lo.shape[:-1] + (ext,), jnp.uint32)
+        lo = jnp.concatenate([lo, zpad], axis=-1)
+    else:
+        lo = lo[..., :n_cols]
+    return lo.at[..., 1:].add(hi[..., : n_cols - 1])
+
+
+@functools.lru_cache(maxsize=None)
+def _band8(val: int, n_in8: int, n_cols8: int) -> np.ndarray:
+    """Banded convolution matrix of a FIXED multiplier in 8-bit radix:
+    BAND[j, k] = byte (k-j) of val, so x8 @ BAND = product columns of
+    x · val in 8-bit radix.  Partial products are 8×8-bit and column sums
+    have <= n_in8 terms, so everything fits uint32 with room to spare —
+    and the whole convolution is ONE dot op in the HLO (MXU/VPU-friendly),
+    vs an outer product + diagonal reduction for variable×variable."""
+    out = np.zeros((n_in8, n_cols8), np.uint32)
+    for j in range(n_in8):
+        for k in range(n_cols8):
+            if 0 <= k - j < 64:
+                out[j, k] = (val >> (8 * (k - j))) & 0xFF
+    return out
+
+
+def _to_bytes_limbs(x):
+    """uint32[..., L] of 16-bit limbs -> uint32[..., 2L] of 8-bit limbs."""
+    lohi = jnp.stack([x & 0xFF, x >> 8], axis=-1)        # (..., L, 2)
+    return lohi.reshape(x.shape[:-1] + (2 * x.shape[-1],))
+
+
+def _fixed_mul_cols(x, val: int, n_cols16: int):
+    """16-bit-radix product columns of (canonical-limb x) · (fixed val).
+
+    x: uint32[..., L]; returns uint32[..., n_cols16] with column sums
+    < 2**30 (valid _carry_canon input)."""
+    L = x.shape[-1]
+    x8 = _to_bytes_limbs(x)
+    band = jnp.asarray(_band8(val, 2 * L, 2 * n_cols16))
+    cols8 = x8 @ band                                    # (..., 2·n_cols16)
+    even = cols8[..., 0::2]
+    odd = cols8[..., 1::2]
+    return even + (odd << 8)
 
 
 class Field:
@@ -182,6 +267,11 @@ class Field:
         v = self.to_mont_int(x % self.p) if mont else x % self.p
         return int_to_limbs(v, self.L)
 
+    def encode_const(self, c: int) -> np.ndarray:
+        """Fixed constant -> host limb array (Montgomery); the Fq2-parallel
+        spelling so curve code stays field-polymorphic."""
+        return self.const(c)
+
     # ---------- batched device ops ----------
 
     def add(self, a, b):
@@ -206,20 +296,16 @@ class Field:
         return _carry_canon(cols, self.L)
 
     def _sub_limbs(self, a, b):
-        """a - b limbwise; returns (limbs, borrow_out). uint32 in, uint32 out."""
+        """a - b limbwise; returns (limbs mod 2^(W·L), borrow_out).
+
+        Complement-add: a + (2^(W·L) - 1 - b) + 1 = a - b + 2^(W·L), so the
+        canonicalizer's carry_out is 1 exactly when a >= b — one flat
+        carry-resolve instead of a borrow ripple."""
         a, b = jnp.broadcast_arrays(a, b)
-        at = jnp.moveaxis(a, -1, 0).astype(jnp.int32)
-        bt = jnp.moveaxis(b, -1, 0).astype(jnp.int32)
-
-        def body(borrow, ab):
-            ai, bi = ab
-            t = ai - bi - borrow
-            under = (t < 0).astype(jnp.int32)
-            return under, (t + (under << W)).astype(jnp.uint32)
-
-        borrow, limbs = jax.lax.scan(
-            body, jnp.zeros(a.shape[:-1], jnp.int32), (at, bt))
-        return jnp.moveaxis(limbs, 0, -1), borrow.astype(jnp.uint32)
+        cols = a + (MASK - b)
+        cols = cols.at[..., 0].add(1)
+        limbs, carry = _carry_canon(cols, self.L)
+        return limbs, (1 - carry).astype(jnp.uint32)
 
     def _cond_sub_p(self, s, carry):
         d, borrow = self._sub_limbs(s, jnp.asarray(self.p_limbs))
@@ -233,37 +319,42 @@ class Field:
         limbs, _ = _carry_canon(cols, 2 * self.L)
         return limbs
 
-    def mont_reduce(self, t):
-        """One-shot Montgomery reduction of a 2L-limb value t < R·p
-        (canonical 16-bit limbs): returns (t·R⁻¹ mod p) as L limbs.
+    def _redc_from_cols(self, ab_cols):
+        """Montgomery-reduce raw 2L product columns (each < 2**30 - 2**22).
 
         m = (t mod R)·N′ mod R;  u = t + m·p  (≡ 0 mod R);  result = u/R,
         then one conditional subtract (u/R < 2p).  Unlike word-serial CIOS
-        this has no 16-deep dependency chain — both products are single
-        batched column-matmuls, which is what the TPU wants and what keeps
-        XLA compile time sane."""
+        there is no 16-deep dependency chain, and both fixed-multiplier
+        products (·N′, ·p) are single banded dots — what the TPU wants and
+        what keeps XLA trace/compile size sane."""
         L = self.L
-        t = t.astype(jnp.uint32)
-        t_lo = t[..., :L]
-        # m = t_lo * N' mod R: low-half product columns, carries propagated
-        # within L limbs (carry out discarded — arithmetic is mod R)
-        m_cols = _prod_cols(t_lo, jnp.asarray(self.nprime_limbs), L)
+        t_lo, _ = _carry_canon(ab_cols[..., :L], L)
+        m_cols = _fixed_mul_cols(t_lo, self.nprime, L)   # mod R: carry dropped
         m, _ = _carry_canon(m_cols, L)
-        # u = t + m*p exactly; low L limbs are ≡ 0, u / R < 2p fits L limbs
-        mp_cols = _prod_cols(m, jnp.asarray(self.p_limbs), 2 * L)
-        u_cols = mp_cols + t  # col sums < 2**22 + 2**16
-        u, _ = _carry_canon(u_cols, 2 * L)
+        mp_cols = _fixed_mul_cols(m, self.p, 2 * L)
+        u, _ = _carry_canon(mp_cols + ab_cols, 2 * L)
         limbs = u[..., L:]
         d, borrow = self._sub_limbs(limbs, jnp.asarray(self.p_limbs))
         return jnp.where((borrow == 0)[..., None], d, limbs)
 
+    def mont_reduce(self, t):
+        """One-shot Montgomery reduction of a 2L-limb value t < R·p
+        (canonical 16-bit limbs): returns (t·R⁻¹ mod p) as L limbs."""
+        return self._redc_from_cols(t.astype(jnp.uint32))
+
     def mul(self, a, b):
-        """Montgomery product: one fused column-matmul pipeline (the hottest
-        op in the framework — everything above is compositions of this)."""
-        L = self.L
-        ab_cols = _prod_cols(a, b, 2 * L)
-        t, _ = _carry_canon(ab_cols, 2 * L)
-        return self.mont_reduce(t)
+        """Montgomery product (the hottest op in the framework — everything
+        above is compositions of this)."""
+        ab_cols = _prod_cols(a, b, 2 * self.L)
+        return self._redc_from_cols(ab_cols)
+
+    def mul_const(self, a, c: int):
+        """Montgomery product with a FIXED plain-integer constant c: the
+        variable×variable outer product is replaced by one banded dot on
+        the Montgomery form of c (curve constants a/d/3b ride this)."""
+        c_mont = self.to_mont_int(c % self.p)
+        ab_cols = _fixed_mul_cols(a, c_mont, 2 * self.L)
+        return self._redc_from_cols(ab_cols)
 
     def sqr(self, a):
         return self.mul(a, a)
@@ -286,6 +377,14 @@ class Field:
     def select(self, cond, a, b):
         """cond ? a : b  (cond boolean [...], broadcast over limb axis)."""
         return jnp.where(cond[..., None], a, b)
+
+    def zeros_like(self, a):
+        """Field zero with a's shape (zero is zero in Montgomery form too)."""
+        return jnp.zeros_like(a)
+
+    def one_like(self, a):
+        """Montgomery one (R mod p) broadcast to a's shape."""
+        return jnp.broadcast_to(jnp.asarray(self.one_mont), a.shape)
 
     # ---------- exponentiation ----------
 

@@ -72,6 +72,24 @@ class Fq2:
         m = K.mul(a0, a1)
         return jnp.stack([c0, K.add(m, m)], axis=-2)
 
+    def mul_const(self, a, c):
+        """Montgomery product with a FIXED Fq2 constant c = (c0, c1) ints:
+        Karatsuba over three banded fixed-multiplier dots (see
+        field.Field.mul_const)."""
+        K = self.K
+        c0, c1 = c
+        a0, a1 = a[..., 0, :], a[..., 1, :]
+        v0 = K.mul_const(a0, c0)
+        v1 = K.mul_const(a1, c1)
+        t = K.mul_const(K.add(a0, a1), (c0 + c1) % K.p)
+        r0 = K.sub(v0, v1)
+        r1 = K.sub(K.sub(t, v0), v1)
+        return jnp.stack([r0, r1], axis=-2)
+
+    def encode_const(self, c) -> np.ndarray:
+        """Fixed constant -> host limb array (Montgomery)."""
+        return self.const(c[0], c[1])
+
     def mul_base(self, a, c):
         """Multiply by a base-field constant/array c (uint32[..., L])."""
         K = self.K

@@ -1,13 +1,18 @@
-"""Groth16 prover orchestration: host witness/setup, TPU NTT + MSM hot path.
+"""Groth16 prover orchestration: host witness/setup scalars, TPU hot path.
 
 Net-new vs the reference snapshot (SURVEY.md §0: the Groth16 prover of the
 original Owshen wallet is absent); BASELINE config 5.  The prove-time compute
 is >99% NTT + MSM (SURVEY.md §7.4.5), so:
 
-  * witness generation + sparse matvecs: host (branchy, tiny);
-  * QAP h(x) computation: device NTTs over the evaluation domain (coset
-    trick: h = intt_coset((A·B - C)·Z⁻¹));
-  * commitments [A]₁ [B]₂ [C]₁: device Pippenger MSMs;
+  * witness generation: host (branchy, tiny — the builder assigns values
+    during synthesis);
+  * constraint-system evaluation (A·w, B·w, C·w): batched device sparse
+    matvec over padded index/coefficient arrays (r1cs.Builder.compiled);
+  * QAP h(x): device NTTs over the evaluation domain (coset trick:
+    h = intt_coset((A·B − C)·Z⁻¹)), h scalars stay on device end-to-end;
+  * commitments [A]₁ [B]₂ [C]₁: device Pippenger MSMs (ops/msm.py);
+  * setup exponents: host ints; setup POINTS: device fixed-base windowed
+    multi-exponentiation (curves/fixed_base.py) — no 254-step double-and-add;
   * verification: host pairing product (groth16/pairing.py).
 
 Setup here is a *simulated* trusted setup from a seed — fine for a proving
@@ -15,6 +20,7 @@ library (the ceremony is out of scope, as it is for the reference)."""
 
 from __future__ import annotations
 
+import functools
 import hashlib
 from dataclasses import dataclass
 
@@ -23,8 +29,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..curves import bn254
+from ..curves.fixed_base import g1_fixed_base, g2_fixed_base
 from ..fields.field import FR, ints_to_array
-from ..ops.msm import msm, pad_to_pow2
+from ..ops.msm import msm
 from ..ops.ntt import NttDomain
 from ..oracle import curve as ocurve
 from .pairing import pairing_product_is_one
@@ -33,10 +40,16 @@ from .r1cs import Builder
 P = FR.p
 
 
+@functools.lru_cache(maxsize=None)
+def _domain(log_n: int) -> NttDomain:
+    """Shared domain instances so jitted pipelines cache across calls."""
+    return NttDomain(log_n)
+
+
 def _rand_stream(seed: bytes):
     i = 0
     while True:
-        v = int.from_bytes(hashlib.sha256(seed + i.to_bytes(4, "le")).digest(), "be") % P
+        v = int.from_bytes(hashlib.sha256(seed + i.to_bytes(4, "little")).digest(), "big") % P
         i += 1
         if v != 0:
             yield v
@@ -76,32 +89,39 @@ class Proof:
 
 
 def _lagrange_at_tau(n: int, tau: int, omega: int):
-    """L_j(τ) for j<n over the radix-2 domain: Zh(τ)·ω^j / (n·(τ−ω^j))."""
+    """L_j(τ) for j<n over the radix-2 domain: Zh(τ)·ω^j / (n·(τ−ω^j)).
+
+    One batched inversion for all n denominators (Montgomery's trick on
+    host ints) — n single inversions would dominate setup at 2^14+."""
     zh = (pow(tau, n, P) - 1) % P
-    out = []
-    wj = 1
     n_inv = pow(n, -1, P)
+    wjs, dens = [], []
+    wj = 1
     for _ in range(n):
-        out.append(zh * wj % P * pow((tau - wj) % P, -1, P) % P * n_inv % P)
+        wjs.append(wj)
+        dens.append((tau - wj) % P)
         wj = wj * omega % P
-    return out
+    # batch invert dens
+    prefix = [1] * (n + 1)
+    for i, d in enumerate(dens):
+        prefix[i + 1] = prefix[i] * d % P
+    inv_all = pow(prefix[n], -1, P)
+    invs = [0] * n
+    for i in range(n - 1, -1, -1):
+        invs[i] = inv_all * prefix[i] % P
+        inv_all = inv_all * dens[i] % P
+    return [zh * wjs[j] % P * invs[j] % P * n_inv % P for j in range(n)]
 
 
-def _g1_batch_device(exponents):
-    """[ints] -> device projective G1 points (batched fixed-base mul)."""
-    n = len(exponents)
-    base = bn254.g1_encode([ocurve.G1_GEN] * n)
-    bits = FR.to_bits_le(ints_to_array([e % P for e in exponents]), 254)
-    bits = jnp.moveaxis(bits, -1, 0)[::-1]
-    return jax.jit(bn254.G1.scalar_mul)(base, bits)
+def _g1_batch_device(exponents, c: int = 8):
+    """[ints] -> device projective G1 points (windowed fixed-base mul)."""
+    sc = ints_to_array([e % P for e in exponents])
+    return jax.jit(g1_fixed_base(c).mul)(sc)
 
 
-def _g2_batch_device(exponents):
-    n = len(exponents)
-    base = bn254.g2_encode([ocurve.G2_GEN] * n)
-    bits = FR.to_bits_le(ints_to_array([e % P for e in exponents]), 254)
-    bits = jnp.moveaxis(bits, -1, 0)[::-1]
-    return jax.jit(bn254.G2.scalar_mul)(base, bits)
+def _g2_batch_device(exponents, c: int = 8):
+    sc = ints_to_array([e % P for e in exponents])
+    return jax.jit(g2_fixed_base(c).mul)(sc)
 
 
 def setup(builder: Builder, seed: bytes = b"owshen-tpu-setup"):
@@ -111,7 +131,7 @@ def setup(builder: Builder, seed: bytes = b"owshen-tpu-setup"):
     m = builder.num_vars
     n_pub = builder.n_pub + 1  # include the constant wire
     n = 1 << max(1, (len(builder.constraints) - 1).bit_length())
-    dom = NttDomain(n.bit_length() - 1)
+    dom = _domain(n.bit_length() - 1)
     lag = _lagrange_at_tau(n, tau, dom.omega)
 
     a_t = [0] * m
@@ -163,72 +183,70 @@ def setup(builder: Builder, seed: bytes = b"owshen-tpu-setup"):
     return pk, vk
 
 
-def _matvec_evals(constraints, which: int, w, n: int):
-    """Per-constraint sparse LC·w evaluations, padded to n (host)."""
-    out = [0] * n
-    for j, rows in enumerate(constraints):
-        out[j] = rows[which].eval(w)
-    return out
+def _matvec(w_mont, idx, coeff):
+    """Batched sparse LC·w: w uint32[m, L] Montgomery; idx int32[n, K];
+    coeff uint32[n, K, L] Montgomery.  Returns uint32[n, L]."""
+    gathered = jnp.take(w_mont, idx, axis=0)      # (n, K, L)
+    prods = FR.mul(gathered, coeff)
+    acc = prods[:, 0]
+    for t in range(1, prods.shape[1]):
+        acc = FR.add(acc, prods[:, t])
+    return acc
 
 
-def _h_coeffs_device(dom: NttDomain, a_e, b_e, c_e):
-    """h = ((A·B - C)·Z⁻¹ on coset) -> coefficients (device)."""
+def _h_scalars_device(dom: NttDomain, w_mont, mats):
+    """Full device pipeline: witness -> A/B/C evals -> h coefficients ->
+    canonical limb scalars for the MSM (no host round-trip)."""
     F = FR
-    a_c = dom.intt(a_e)
-    b_c = dom.intt(b_e)
-    c_c = dom.intt(c_e)
-    a_s = dom.coset_ntt(a_c)
-    b_s = dom.coset_ntt(b_c)
-    c_s = dom.coset_ntt(c_c)
+    (ia, ca), (ib, cb), (ic_, cc) = mats
+    a_e = _matvec(w_mont, ia, ca)
+    b_e = _matvec(w_mont, ib, cb)
+    c_e = _matvec(w_mont, ic_, cc)
+    a_s = dom.coset_ntt(dom.intt(a_e))
+    b_s = dom.coset_ntt(dom.intt(b_e))
+    c_s = dom.coset_ntt(dom.intt(c_e))
     zinv = jnp.asarray(F.const(dom.z_on_coset_inv()))
     h_s = F.mul(F.sub(F.mul(a_s, b_s), c_s), zinv[None])
-    return dom.coset_intt(h_s)
+    h_c = dom.coset_intt(h_s)
+    return F.from_mont(h_c)  # canonical scalars, stays on device
 
 
 def prove(pk: ProvingKey, builder: Builder, seed: bytes = b"owshen-tpu-prove",
-          msm_c: int = 8, msm_chunk: int = 256) -> Proof:
+          msm_c: int = 8, msm_lanes: int = 1024) -> Proof:
     """Generate a proof from a fully-assigned builder."""
     w = builder.witness()
     rs = _rand_stream(seed + b"|rs")
     r, s = next(rs), next(rs)
     n = pk.n_domain
-    dom = NttDomain(n.bit_length() - 1)
+    dom = _domain(n.bit_length() - 1)
 
-    a_e = FR.encode(_matvec_evals(builder.constraints, 0, w, n))
-    b_e = FR.encode(_matvec_evals(builder.constraints, 1, w, n))
-    c_e = FR.encode(_matvec_evals(builder.constraints, 2, w, n))
-    h_c = jax.jit(lambda a, b, c: _h_coeffs_device(dom, a, b, c))(a_e, b_e, c_e)
-    # decode h coefficients to canonical scalars for the MSM
-    h_scalars_int = FR.decode(h_c)[: n - 1]
+    mats = builder.compiled(n)
+    mats_dev = tuple((jnp.asarray(i), jnp.asarray(c)) for i, c in mats)
+    w_mont = jnp.asarray(FR.encode(w))
+    h_sc = _h_pipeline(dom)(w_mont, mats_dev)[: n - 1]
 
     w_sc = ints_to_array(w)
-    run_msm = jax.jit(lambda p, sc: msm(bn254.G1, p, sc, c=msm_c, chunk=msm_chunk))
-
-    def msm_g1(points, scalars_int):
-        pts, sc = pad_to_pow2(points, ints_to_array(scalars_int), bn254.G1)
-        return run_msm(pts, sc)
+    msm_g1 = _msm_jit("g1", msm_c, msm_lanes)
+    msm_g2 = _msm_jit("g2", msm_c, msm_lanes)
 
     # [A]₁ = α + Σ w_i·A_i(τ) + r·δ
-    pts_a, sc_a = pad_to_pow2(pk.a_g1, w_sc, bn254.G1)
-    a_acc = run_msm(pts_a, sc_a)
+    a_acc = msm_g1(pk.a_g1, w_sc)
     a_acc = bn254.G1.add(a_acc, tuple(x[0] for x in pk.alpha_g1))
     a_acc = bn254.G1.add(a_acc, _scale_first(bn254.G1, pk.delta_g1, r))
 
     # [B]₂ (and its G1 shadow for C)
-    pts_b2, sc_b = pad_to_pow2(pk.b_g2, w_sc, bn254.G2)
-    b2_acc = jax.jit(lambda p, sc: msm(bn254.G2, p, sc, c=msm_c, chunk=msm_chunk))(pts_b2, sc_b)
+    b2_acc = msm_g2(pk.b_g2, w_sc)
     b2_acc = bn254.G2.add(b2_acc, tuple(x[0] for x in pk.beta_g2))
     b2_acc = bn254.G2.add(b2_acc, _scale_first(bn254.G2, pk.delta_g2, s))
 
-    pts_b1, _ = pad_to_pow2(pk.b_g1, w_sc, bn254.G1)
-    b1_acc = run_msm(pts_b1, sc_b)
+    b1_acc = msm_g1(pk.b_g1, w_sc)
     b1_acc = bn254.G1.add(b1_acc, tuple(x[0] for x in pk.beta_g1))
     b1_acc = bn254.G1.add(b1_acc, _scale_first(bn254.G1, pk.delta_g1, s))
 
     # [C]₁ = Σ_priv w_i·K_i + Σ h_i·H_i + s·A + r·B₁ − r·s·δ
-    c_acc = msm_g1(pk.h_g1, h_scalars_int)
+    c_acc = msm_g1(pk.h_g1, h_sc)
     if pk.k_g1 is not None:
-        c_acc = bn254.G1.add(c_acc, msm_g1(pk.k_g1, w[pk.n_pub:]))
+        c_acc = bn254.G1.add(c_acc, msm_g1(pk.k_g1, w_sc[pk.n_pub:]))
     c_acc = bn254.G1.add(c_acc, _scale_point(bn254.G1, a_acc, s))
     c_acc = bn254.G1.add(c_acc, _scale_point(bn254.G1, b1_acc, r))
     c_acc = bn254.G1.add(
@@ -241,6 +259,23 @@ def prove(pk: ProvingKey, builder: Builder, seed: bytes = b"owshen-tpu-prove",
     return Proof(a=a_aff, b=b_aff, c=c_aff)
 
 
+@functools.lru_cache(maxsize=None)
+def _msm_jit(group: str, c: int, lanes: int):
+    curve = bn254.G1 if group == "g1" else bn254.G2
+    return jax.jit(lambda p, sc: msm(curve, p, sc, c=c, lanes=lanes))
+
+
+@functools.lru_cache(maxsize=None)
+def _h_pipeline(dom: NttDomain):
+    return jax.jit(lambda wm, ms: _h_scalars_device(dom, wm, ms))
+
+
+@functools.lru_cache(maxsize=None)
+def _scalar_mul_jit(group: str):
+    curve = bn254.G1 if group == "g1" else bn254.G2
+    return jax.jit(curve.scalar_mul)
+
+
 def _scale_first(curve, pts, k: int):
     """k · pts[0] (single point from a batch-of-1 device array)."""
     p0 = tuple(x[0] for x in pts)
@@ -250,7 +285,8 @@ def _scale_first(curve, pts, k: int):
 def _scale_point(curve, p, k: int):
     bits = FR.to_bits_le(ints_to_array([k % P]), 254)[0]
     bits = bits[::-1]  # MSB-first
-    return curve.scalar_mul(p, bits)
+    group = "g1" if curve is bn254.G1 else "g2"
+    return _scalar_mul_jit(group)(p, bits)
 
 
 def verify(vk: VerifyingKey, public_inputs: list[int], proof: Proof) -> bool:

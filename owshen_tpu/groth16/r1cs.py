@@ -120,6 +120,30 @@ class Builder:
 
     # ---------- export ----------
 
+    def compiled(self, n_rows: int):
+        """Constraint matrices as padded dense index/coefficient arrays for
+        the device sparse matvec: for each of A, B, C returns
+        (idx int32[n_rows, K], coeff uint32[n_rows, K, L] Montgomery) with
+        K = max row nonzeros (padded with var 0 / coeff 0, which evaluates
+        to 0).  n_rows >= len(constraints); extra rows are all-zero."""
+        from ..fields.field import FR
+        import numpy as np
+
+        out = []
+        for which in range(3):
+            rows = [list(c[which].items()) for c in self.constraints]
+            k = max((len(r) for r in rows), default=1) or 1
+            idx = np.zeros((n_rows, k), np.int32)
+            coeff = np.zeros((n_rows, k), object)
+            for j, r in enumerate(rows):
+                for t, (i, v) in enumerate(r):
+                    idx[j, t] = i
+                    coeff[j, t] = v
+            cf = FR.encode([int(coeff[j, t]) if coeff[j, t] else 0
+                            for j in range(n_rows) for t in range(k)])
+            out.append((idx, cf.reshape(n_rows, k, FR.L)))
+        return out
+
     def witness(self) -> list[int]:
         assert all(v is not None for v in self.values), "missing assignments"
         return list(self.values)

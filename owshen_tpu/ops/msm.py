@@ -3,22 +3,30 @@
 Net-new proving-path engine (SURVEY.md §2.3, BASELINE config 4): the Groth16
 commitment bottleneck.
 
-TPU-first formulation — bucket accumulation is a scatter on GPUs; here it is
-re-shaped into sort + *hierarchical segmented scan* so everything is a
-fixed-shape vector op:
+TPU-first formulation — bucket accumulation is a scatter on GPUs; a sort +
+segmented reduction is the classic SIMD answer, but on TPU (and under XLA's
+compile model) the cheapest shape is **lane-parallel scatter-accumulate**:
 
-  1. per window: extract c-bit digits, argsort points by digit;
-  2. segmented inclusive scan over the sorted run (chunked: a lax.scan down
-     a (lanes, chunk) layout so every sequential step is a batched complete
-     EC add across lanes, recursing on per-lane carries — log-depth overall
-     with full VPU occupancy);
-  3. segment totals scattered into the dense bucket array (unique indices);
-  4. bucket-weighted sum Σ j·B_j via suffix prefix-scan + tree reduce;
-  5. window results combined by a c-doubling Horner scan.
+  1. all 256/c windows' c-bit digits are extracted at once (one shift/mask
+     over the 16-bit limb array) — digits[w, i];
+  2. the point stream is folded into per-(window, lane) bucket arrays by a
+     single ``lax.scan`` over rows whose body is ONE wide batched complete
+     EC add + gather/scatter at unique indices.  Each of the `lanes` lanes
+     owns a private 2^c-bucket array, so there are no index collisions and
+     no sort — and the scan body is tiny, so XLA compile time stays flat
+     regardless of n;
+  3. per-lane buckets are combined by one scan over lanes (each step a
+     (W, 2^c)-wide batched add — full VPU width, single HLO add instance);
+  4. the bucket-weighted sum Σ j·B_j runs as a windows-batched suffix scan;
+  5. window results combine under a c-doubling Horner scan.
 
-Everything is branchless complete-formula arithmetic, so identity points and
-repeated points need no special cases.  Multi-chip sharding (points split
-per chip, per-chip partials combined over ICI) lives in parallel/msm_dist.py.
+Everything is branchless complete-formula arithmetic, so identity points,
+repeated points, and zero digits need no special cases (bucket 0 absorbs
+zero digits and is never read).  Multi-chip sharding (points split per
+chip, per-chip partials combined over ICI) lives in parallel/msm_dist.py.
+
+The generic segmented/plain prefix-scan machinery below is kept for the
+distributed reducers and as a tested building block.
 """
 
 from __future__ import annotations
@@ -34,6 +42,10 @@ import numpy as np
 def _tree_map(fn, pt):
     return tuple(fn(leaf) for leaf in pt)
 
+
+# ---------------------------------------------------------------------------
+# Generic chunked segmented scan (EC prefix sums)
+# ---------------------------------------------------------------------------
 
 class _SegOps:
     """Segmented-scan combiner over (point-pytree, flag) pairs."""
@@ -87,8 +99,10 @@ def segmented_scan(curve, points, flags, chunk: int = 512):
         jnp.concatenate([jnp.expand_dims(jnp.broadcast_to(iz, a.shape[1:]), 0), a[:-1]])
         for a, iz in zip(inc_p, ident)
     )
+    exc_f = jnp.concatenate([jnp.zeros((1,), bool), inc_f[:-1]])
     # out[k, t] = combine(exc[k], out1[k, t]): flag of out1 decides
     fixed = curve.select(outf, outs, curve.add(_tree_map(lambda a: a[None], exc_p), outs))
+    outf = outf | exc_f[None, :]
     outs = _tree_map(lambda a: jnp.moveaxis(a, 0, 1).reshape((n,) + a.shape[2:]), fixed)
     outf = jnp.moveaxis(outf, 0, 1).reshape(n)
     return outs, outf
@@ -101,76 +115,160 @@ def plain_scan(curve, points, chunk: int = 512):
     return outs
 
 
-def _extract_digits(scalars, w: int, c: int):
-    """c-bit digit w of canonical 16-bit-limb scalars uint32[n, L]."""
+# ---------------------------------------------------------------------------
+# Pippenger MSM
+# ---------------------------------------------------------------------------
+
+def window_digits(scalars, c: int, n_bits: int = 256):
+    """All window digits at once: canonical 16-bit-limb scalars
+    uint32[n, L] -> int32[n_windows, n] with digits[w] = (s >> w·c) & (2^c-1).
+    c must divide 16."""
+    assert 16 % c == 0
+    n_windows = (n_bits + c - 1) // c
     per_limb = 16 // c
-    limb = scalars[:, w // per_limb]
-    shift = (w % per_limb) * c
-    return (limb >> shift) & ((1 << c) - 1)
+    w = np.arange(n_windows)
+    limb_idx = jnp.asarray(w // per_limb, jnp.int32)
+    shifts = jnp.asarray((w % per_limb) * c, jnp.uint32)
+    limbs = jnp.take(scalars, limb_idx, axis=1)          # (n, n_windows)
+    digits = (limbs >> shifts[None, :]) & jnp.uint32((1 << c) - 1)
+    return jnp.moveaxis(digits, 1, 0).astype(jnp.int32)  # (n_windows, n)
 
 
-def msm(curve, points, scalars, c: int = 16, n_bits: int = 256, chunk: int = 512):
+def sum_scan(curve, pts, axis: int = 0):
+    """EC sum along `axis` as ONE lax.scan (1 add in the HLO).
+
+    Summing N point-arrays costs N-1 adds regardless of shape — a log-tree
+    only reduces *depth*, at log₂N inlined add instances in the HLO.  When
+    the per-step batch is already VPU-wide, the scan is the right trade:
+    flat compile, same total work."""
+    pts_t = _tree_map(lambda a: jnp.moveaxis(a, axis, 0), pts)
+    init = _tree_map(lambda a: a[0], pts_t)
+    rest = _tree_map(lambda a: a[1:], pts_t)
+
+    def body(acc, x):
+        return curve.add(acc, x), None
+
+    acc, _ = jax.lax.scan(body, init, rest)
+    return acc
+
+
+def _weighted_sum(curve, buckets, ident1):
+    """Σ_{j≥1} j·B_j along axis 1 of a (W, m, ...) bucket pytree, as a
+    suffix scan with the running total folded into the same carry (so the
+    HLO holds exactly two EC-add instances).  Returns (W, ...)."""
+    n_windows = buckets[0].shape[0]
+    bkt = _tree_map(lambda a: a[:, 1:][:, ::-1], buckets)    # j = m-1 .. 1
+    bkt_t = _tree_map(lambda a: jnp.moveaxis(a, 1, 0), bkt)  # (m-1, W, ...)
+    initw = _tree_map(
+        lambda iz: jnp.broadcast_to(
+            jnp.expand_dims(iz, 0), (n_windows,) + iz.shape), ident1)
+
+    def sstep(carry, x):
+        suf, tot = carry
+        suf = curve.add(suf, x)
+        tot = curve.add(tot, suf)
+        return (suf, tot), None
+
+    (_, wsum), _ = jax.lax.scan(sstep, (initw, initw), bkt_t)
+    return wsum
+
+
+def msm(curve, points, scalars, c: int = 8, n_bits: int = 256,
+        lanes: int = 1024):
     """Σ scalars[i] · points[i].
 
     curve: Weierstrass-like ops object; points: projective pytree [n, ...];
-    scalars: canonical uint32[n, L] limbs.  n must be a power of two (pad
-    with zero scalars otherwise).  Returns a single projective point."""
-    assert c in (4, 8, 16)
+    scalars: canonical uint32[n, L] limbs.  Any n (padded internally to a
+    multiple of `lanes` with identities).  Returns a single projective point.
+
+    `lanes` trades HBM footprint (n_windows · lanes · 2^c bucket points)
+    against scan depth (n / lanes sequential wide adds); c trades window
+    count (256/c passes over the points) against bucket-combine work
+    (lanes · 2^c adds)."""
+    assert c in (2, 4, 8, 16)
     n = scalars.shape[0]
-    n_windows = n_bits // c
+    lanes = max(1, min(lanes, n))
+    rows = (n + lanes - 1) // lanes
+    n_pad = rows * lanes
+    n_windows = (n_bits + c - 1) // c
     two_c = 1 << c
 
-    # --- per-window bucket pipeline (traced once; scanned over windows) ---
-    def window_sum(w):
-        per_limb = 16 // c
-        limb = jnp.take(scalars, w // per_limb, axis=1)
-        shift = (w % per_limb) * c
-        digits = (limb >> shift) & (two_c - 1)  # (n,)
-        order = jnp.argsort(digits)
-        d_sorted = jnp.take(digits, order, axis=0)
-        pts_sorted = _tree_map(lambda a: jnp.take(a, order, axis=0), points)
-        starts = jnp.concatenate(
-            [jnp.ones((1,), bool), d_sorted[1:] != d_sorted[:-1]])
-        scan_p, _ = segmented_scan(curve, pts_sorted, starts, chunk)
-        ends = jnp.concatenate([starts[1:], jnp.ones((1,), bool)])
-        # scatter segment totals into dense buckets (unique indices; all
-        # non-end rows land in the dump slot two_c)
-        idx = jnp.where(ends, d_sorted.astype(jnp.int32), two_c)
-        ident = curve.identity_like(scan_p[0][0])
+    ident1 = curve.identity_like(points[0][0])  # single-point identity
+    if n_pad != n:
+        pad = n_pad - n
+        points = tuple(
+            jnp.concatenate(
+                [a, jnp.broadcast_to(jnp.expand_dims(iz, 0), (pad,) + iz.shape)])
+            for a, iz in zip(points, ident1)
+        )
+        scalars = jnp.concatenate(
+            [scalars, jnp.zeros((pad,) + scalars.shape[1:], scalars.dtype)])
+
+    digits = window_digits(scalars, c, n_bits)           # (W, n_pad)
+    digits = digits.reshape(n_windows, rows, lanes)
+    pts_rows = _tree_map(
+        lambda a: a.reshape((rows, lanes) + a.shape[1:]), points)
+
+    # --- 2. lane-private bucket accumulation: one tiny scan body ---
+    wi = jnp.arange(n_windows, dtype=jnp.int32)[:, None]
+    li = jnp.arange(lanes, dtype=jnp.int32)[None, :]
+    buckets0 = tuple(
+        jnp.broadcast_to(
+            iz.reshape((1, 1, 1) + iz.shape),
+            (n_windows, lanes, two_c) + iz.shape,
+        )
+        for iz in ident1
+    )
+
+    def step(buckets, inp):
+        d, p = inp  # d: (W, lanes); p: pytree (lanes, ...)
+        cur = _tree_map(lambda b: b[wi, li, d], buckets)          # (W, lanes, ...)
+        pb = _tree_map(lambda a: jnp.broadcast_to(a[None], (n_windows,) + a.shape), p)
+        new = curve.add(cur, pb)
         buckets = tuple(
-            jnp.broadcast_to(jnp.expand_dims(iz, 0), (two_c + 1,) + iz.shape)
-            .at[idx].set(sp)
-            for iz, sp in zip(ident, scan_p)
-        )
-        # weighted sum Σ_{j=1}^{2^c-1} j·B_j = Σ_k suffix_k: suffix sums via
-        # reversed inclusive plain scan over buckets 1..2^c-1
-        bkt = _tree_map(lambda a: a[1:two_c][::-1], buckets)
-        # pad to power of two with identities for the chunked scan
-        m = two_c - 1
-        m_pad = 1 << (m - 1).bit_length()
-        pad = m_pad - m
-        bkt = tuple(
-            jnp.concatenate([a, jnp.broadcast_to(jnp.expand_dims(iz, 0),
-                                                 (pad,) + iz.shape)])
-            for a, iz in zip(bkt, ident)
-        )
-        suffix = plain_scan(curve, bkt, chunk)
-        return curve.sum_reduce(suffix)
+            b.at[wi, li, d].set(nv) for b, nv in zip(buckets, new))
+        return buckets, None
 
-    def scan_body(acc, w):
-        for _ in range(c):
-            acc = curve.double(acc)
-        acc = curve.add(acc, window_sum(w))
-        return acc, None
+    digits_t = jnp.moveaxis(digits, 1, 0)                # (rows, W, lanes)
+    buckets, _ = jax.lax.scan(step, buckets0, (digits_t, pts_rows))
 
-    acc0 = curve.identity_like(points[0][0])
-    ws = jnp.arange(n_windows - 1, -1, -1)
-    acc, _ = jax.lax.scan(scan_body, acc0, ws)
+    # --- 3. combine lanes: one scan over the lane axis (each step is a
+    # (W, 2^c)-wide batched add — full VPU width, single HLO add) ---
+    buckets = sum_scan(curve, buckets, axis=1)           # (W, 2^c, ...)
+
+    # --- 4. bucket-weighted sum Σ_{j≥1} j·B_j per window ---
+    if two_c <= 512:
+        wsum = _weighted_sum(curve, buckets, ident1)     # (W, ...)
+    else:
+        # large windows: split j = hi·2^cl + lo so the suffix scans run
+        # 2^(c/2) steps instead of 2^c (65k-step scans are unusable)
+        ch = c // 2
+        cl = c - ch
+        rs = _tree_map(
+            lambda a: a.reshape((n_windows, 1 << ch, 1 << cl) + a.shape[2:]),
+            buckets)
+        rowsum = sum_scan(curve, rs, axis=2)             # Σ_lo B[hi,·]
+        colsum = sum_scan(curve, rs, axis=1)             # Σ_hi B[·,lo]
+        whi = _weighted_sum(curve, rowsum, ident1)       # Σ hi·rowsum
+        wlo = _weighted_sum(curve, colsum, ident1)       # Σ lo·colsum
+        whi = jax.lax.fori_loop(0, cl, lambda _, a: curve.double(a), whi)
+        wsum = curve.add(whi, wlo)
+
+    # --- 5. Horner over windows, MSB-first (doubles as a fori_loop so the
+    # HLO contains ONE double instance, not c) ---
+    wsum_rev = _tree_map(lambda a: a[::-1], wsum)
+
+    def hstep(acc, wv):
+        acc = jax.lax.fori_loop(0, c, lambda _, a: curve.double(a), acc)
+        return curve.add(acc, wv), None
+
+    acc, _ = jax.lax.scan(hstep, ident1, wsum_rev)
     return acc
 
 
 def pad_to_pow2(points, scalars, curve):
-    """Host-side helper: pad (points, scalars) so n is a power of two."""
+    """Host-side helper: pad (points, scalars) so n is a power of two.
+    (msm() now pads internally; kept for callers that want static shapes.)"""
     n = scalars.shape[0]
     n2 = 1 << math.ceil(math.log2(max(n, 1)))
     if n2 == n:

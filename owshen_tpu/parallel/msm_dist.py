@@ -22,14 +22,14 @@ from ..ops.msm import msm
 from .mesh import CHIP
 
 
-def msm_dist(mesh: Mesh, curve, points, scalars, c: int = 16,
-             n_bits: int = 256, chunk: int = 512):
+def msm_dist(mesh: Mesh, curve, points, scalars, c: int = 8,
+             n_bits: int = 256, lanes: int = 1024):
     """Distributed MSM.  points: projective pytree [n, ...]; scalars:
-    canonical uint32[n, L]; n divisible by mesh size × a power of two.
+    canonical uint32[n, L]; n divisible by the mesh size.
     Returns a replicated projective point."""
 
     def local(pts, sc):
-        partial = msm(curve, pts, sc, c=c, n_bits=n_bits, chunk=chunk)
+        partial = msm(curve, pts, sc, c=c, n_bits=n_bits, lanes=lanes)
         gathered = jax.lax.all_gather(partial, CHIP)  # each leaf [d, ...]
         return curve.sum_reduce(gathered)
 
@@ -44,8 +44,8 @@ def msm_dist(mesh: Mesh, curve, points, scalars, c: int = 16,
     return fn(points, scalars)
 
 
-def msm_dist_jit(mesh: Mesh, curve, c: int = 16, n_bits: int = 256,
-                 chunk: int = 512):
+def msm_dist_jit(mesh: Mesh, curve, c: int = 8, n_bits: int = 256,
+                 lanes: int = 1024):
     """jit-wrapped distributed MSM closure (compile once per shape)."""
     return jax.jit(functools.partial(msm_dist, mesh, curve, c=c,
-                                     n_bits=n_bits, chunk=chunk))
+                                     n_bits=n_bits, lanes=lanes))

@@ -1,17 +1,54 @@
 """Test config: force an 8-device virtual CPU mesh (the "RamKvStore of
 meshes", SURVEY.md §4) so sharding/collective paths are exercised without
-TPU hardware.  Must run before jax initializes."""
+TPU hardware.
+
+This environment's sitecustomize pre-registers a TPU ('axon') backend at
+interpreter start — before any conftest runs — so setting JAX_PLATFORMS
+here is too late (round-1 suite silently ran on the single real TPU chip),
+and re-initializing the CPU backend in-process after the TPU plugin loaded
+hangs.  The reliable fix: re-exec the whole pytest process with the TPU
+plumbing stripped and the CPU flags set.  Done in pytest_configure (not at
+import) so pytest's fd-capture can be stopped first — otherwise the child
+inherits the capture tempfile as stdout and all output vanishes.
+Idempotent via a marker variable."""
 
 import os
 import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
-# persistent compile cache: repeated test runs skip XLA recompilation
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+_MARK = "OWSHEN_TPU_TESTENV"
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _needs_reexec() -> bool:
+    return os.environ.get(_MARK) != "1"
+
+
+def pytest_configure(config):
+    if not _needs_reexec():
+        import jax
+
+        assert jax.devices()[0].platform == "cpu", (
+            "tests must run on the virtual CPU mesh; got "
+            + jax.devices()[0].platform)
+        return
+    env = dict(os.environ)
+    env[_MARK] = "1"
+    # strip the TPU plugin hook so sitecustomize's register() never runs
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["JAX_PLATFORM_NAME"] = "cpu"
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+    # persistent compile cache: repeated test runs skip XLA recompilation
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+    capman = config.pluginmanager.getplugin("capturemanager")
+    if capman is not None:
+        capman.stop_global_capturing()
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os.execve(sys.executable, [sys.executable, "-m", "pytest", *sys.argv[1:]], env)

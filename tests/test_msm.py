@@ -60,20 +60,22 @@ def test_msm_vs_oracle():
     dev_sc = ints_to_array(scalars)
     got = bn254.g1_decode(
         tuple(x[None] for x in jax.jit(
-            lambda p, s: msm(bn254.G1, p, s, c=8, chunk=8)
+            lambda p, s: msm(bn254.G1, p, s, c=8, lanes=8)
         )(dev_pts, dev_sc))
     )[0]
     want = ocurve.G1.msm(pts, scalars)
     assert got == want
 
 
-def test_msm_c16():
+def test_msm_c4():
+    # per_limb = 4 digit-extraction path (c=16 is a TPU-scale option:
+    # its 2^16-bucket arrays are exercised by bench.py, not the CPU mesh)
     n = 16
     scalars = [rng.randrange(FR.p) for _ in range(n)]
     pts = _g1_points([rng.randrange(500) + 1 for _ in range(n)])
     got = bn254.g1_decode(
         tuple(x[None] for x in jax.jit(
-            lambda p, s: msm(bn254.G1, p, s, c=16, chunk=8)
+            lambda p, s: msm(bn254.G1, p, s, c=4, lanes=8)
         )(bn254.g1_encode(pts), ints_to_array(scalars)))
     )[0]
     assert got == ocurve.G1.msm(pts, scalars)
@@ -85,7 +87,7 @@ def test_msm_g2():
     pts = [ocurve.G2.mul(ocurve.G2_GEN, rng.randrange(100) + 1) for _ in range(n)]
     got = bn254.g2_decode(
         tuple(x[None] for x in jax.jit(
-            lambda p, s: msm(bn254.G2, p, s, c=8, chunk=4)
+            lambda p, s: msm(bn254.G2, p, s, c=8, lanes=4)
         )(bn254.g2_encode(pts), ints_to_array(scalars)))
     )[0]
     want = None
