@@ -32,6 +32,6 @@ def merkle_root_dist(mesh: Mesh, leaves, hash_name: str = "poseidon"):
             tops = h2(tops[0::2], tops[1::2])
         return tops[0]
 
-    fn = jax.shard_map(local, mesh=mesh, in_specs=P(CHIP), out_specs=P(),
-                       check_vma=False)
+    fn = jax.jit(jax.shard_map(local, mesh=mesh, in_specs=P(CHIP),
+                               out_specs=P(), check_vma=False))
     return fn(leaves)

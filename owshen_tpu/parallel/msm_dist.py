@@ -34,13 +34,13 @@ def msm_dist(mesh: Mesh, curve, points, scalars, c: int = 8,
         return curve.sum_reduce(gathered)
 
     n_pt_leaves = len(points)
-    fn = jax.shard_map(
+    fn = jax.jit(jax.shard_map(
         local,
         mesh=mesh,
         in_specs=((P(CHIP),) * n_pt_leaves, P(CHIP)),
         out_specs=(P(), P(), P()),
         check_vma=False,
-    )
+    ))
     return fn(points, scalars)
 
 

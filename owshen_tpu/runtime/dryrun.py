@@ -1,0 +1,88 @@
+"""Multi-chip dry-run: compile + execute the distributed proving step on an
+n-device mesh with the real shardings (SURVEY.md §2.4) on tiny shapes.
+
+Run either in-process (when the current jax backend already exposes
+n_devices, e.g. the forced-CPU test mesh) or via a subprocess that strips
+this environment's TPU sitecustomize hook first (in-process backend swaps
+hang once the TPU plugin initialized — see tests/conftest.py)."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+
+def run(n_devices: int) -> None:
+    """Assumes jax already initialized with >= n_devices devices."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..curves import bn254
+    from ..fields.field import FR, ints_to_array
+    from ..oracle import curve as ocurve
+    from ..oracle import ntt as ontt
+    from ..ops import merkle
+    from ..parallel.mesh import make_mesh
+    from ..parallel.merkle_dist import merkle_root_dist
+    from ..parallel.msm_dist import msm_dist
+    from ..parallel.ntt_dist import DistNtt
+
+    assert len(jax.devices()) >= n_devices, (
+        f"need {n_devices} devices, have {len(jax.devices())}")
+    mesh = make_mesh(n_devices)
+    rng = np.random.RandomState(7)
+
+    # --- distributed NTT (sequence-parallel analogue, all_to_all) ---
+    log_n = 6
+    n = 1 << log_n
+    xs = [int(rng.randint(0, 1 << 30)) for _ in range(n)]
+    dn = DistNtt(mesh, log_n)
+    got = FR.decode(dn.ntt(jnp.asarray(FR.encode(xs))))
+    want = ontt.ntt(xs, dn.omega)
+    assert got == want, "DistNtt forward mismatch"
+    back = FR.decode(dn.intt(jnp.asarray(FR.encode(got))))
+    assert back == [x % FR.p for x in xs], "DistNtt inverse mismatch"
+
+    # --- distributed MSM (data-parallel shards + ICI gather-reduce) ---
+    n_pts = 2 * n_devices
+    ks = [int(rng.randint(1, 1000)) for _ in range(n_pts)]
+    scalars = [int(rng.randint(0, 1 << 62)) for _ in range(n_pts)]
+    pts = [ocurve.G1.mul(ocurve.G1_GEN, k) for k in ks]
+    acc = msm_dist(mesh, bn254.G1, bn254.g1_encode(pts),
+                   ints_to_array(scalars), c=4, lanes=2)
+    got_pt = bn254.g1_decode(tuple(x[None] for x in acc))[0]
+    assert got_pt == ocurve.G1.msm(pts, scalars), "msm_dist mismatch"
+
+    # --- distributed Merkle root (subtree partitioning + collective top) ---
+    leaves = [int(rng.randint(0, 1 << 31)) for _ in range(8 * n_devices)]
+    root = merkle_root_dist(mesh, jnp.asarray(FR.encode(leaves)), "poseidon")
+    want_root = merkle.oracle_sparse_root(
+        dict(enumerate(leaves)), (8 * n_devices - 1).bit_length(), "poseidon")
+    assert FR.decode(root[None])[0] == want_root, "merkle_root_dist mismatch"
+
+    print(f"MULTICHIP OK: ntt/msm/merkle distributed on {n_devices} devices "
+          f"({jax.devices()[0].platform})")
+
+
+def run_subprocess(n_devices: int) -> None:
+    """Spawn a clean python with the CPU mesh forced before jax import."""
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # disable TPU sitecustomize hook
+    env["JAX_PLATFORMS"] = "cpu"
+    env["JAX_PLATFORM_NAME"] = "cpu"
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={n_devices}"
+        ).strip()
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    code = (f"import sys; sys.path.insert(0, {repo!r}); "
+            f"from owshen_tpu.runtime.dryrun import run; run({n_devices})")
+    subprocess.run([sys.executable, "-c", code], env=env, check=True)
+
+
+if __name__ == "__main__":
+    run(int(sys.argv[1]) if len(sys.argv) > 1 else 8)

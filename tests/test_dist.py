@@ -1,0 +1,62 @@
+"""Multi-chip collective paths on the virtual 8-device CPU mesh (the
+"RamKvStore of meshes", SURVEY.md §4): DistNtt (all_to_all stage exchange),
+msm_dist (sharded Pippenger + gather-reduce), merkle_root_dist (subtree
+partitioning).  VERDICT r1 #5: these must run in the default suite."""
+
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from owshen_tpu.curves import bn254
+from owshen_tpu.fields.field import FR, ints_to_array
+from owshen_tpu.oracle import curve as ocurve
+from owshen_tpu.oracle import ntt as ontt
+from owshen_tpu.ops import merkle
+from owshen_tpu.parallel.mesh import make_mesh
+from owshen_tpu.parallel.merkle_dist import merkle_root_dist
+from owshen_tpu.parallel.msm_dist import msm_dist
+from owshen_tpu.parallel.ntt_dist import DistNtt
+
+rng = random.Random(5)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-device CPU mesh")
+
+
+@pytest.mark.parametrize("d", [2, 4, 8])
+def test_dist_ntt_fwd_inv(d):
+    mesh = make_mesh(d)
+    log_n = 6
+    xs = [rng.randrange(FR.p) for _ in range(1 << log_n)]
+    dn = DistNtt(mesh, log_n)
+    got = FR.decode(dn.ntt(jnp.asarray(FR.encode(xs))))
+    assert got == ontt.ntt(xs, dn.omega)
+    back = FR.decode(dn.intt(jnp.asarray(FR.encode(got))))
+    assert back == xs
+
+
+@pytest.mark.parametrize("d", [2, 8])
+def test_dist_msm(d):
+    mesh = make_mesh(d)
+    n = 2 * d
+    ks = [rng.randrange(500) + 1 for _ in range(n)]
+    scalars = [rng.randrange(FR.p) for _ in range(n)]
+    pts = [ocurve.G1.mul(ocurve.G1_GEN, k) for k in ks]
+    acc = msm_dist(mesh, bn254.G1, bn254.g1_encode(pts),
+                   ints_to_array(scalars), c=4, lanes=2)
+    got = bn254.g1_decode(tuple(x[None] for x in acc))[0]
+    assert got == ocurve.G1.msm(pts, scalars)
+
+
+@pytest.mark.parametrize("d", [4, 8])
+def test_dist_merkle_root(d):
+    mesh = make_mesh(d)
+    n = 8 * d
+    leaves = [rng.randrange(FR.p) for _ in range(n)]
+    root = merkle_root_dist(mesh, jnp.asarray(FR.encode(leaves)), "poseidon")
+    want = merkle.oracle_sparse_root(
+        dict(enumerate(leaves)), (n - 1).bit_length(), "poseidon")
+    assert FR.decode(root[None])[0] == want
