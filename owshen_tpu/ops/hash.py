@@ -17,6 +17,7 @@ Bit-exactness vs the Python oracle is the hard gate for every batch shape.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -66,7 +67,22 @@ def mimc7_multi(inputs, key=None):
 
 
 def mimc_hash2(left, right):
-    """Merkle node hash used by the MiMC tree (key 0)."""
+    """Merkle node hash used by the MiMC tree (key 0).
+
+    On TPU, 1-D batches route to the fused Pallas kernel (see
+    poseidon_hash2); bit-exactness of both paths is oracle-gated."""
+    if _pallas_ok(left, right):
+        from ..pallas.field_kernels import mimc_hash2_pallas
+
+        n = left.shape[0]
+        block = 512 if n >= 512 else 128
+        pad = (-n) % block
+        if pad:
+            zpad = jnp.zeros((pad, left.shape[1]), left.dtype)
+            left = jnp.concatenate([left, zpad])
+            right = jnp.concatenate([right, zpad])
+        out = mimc_hash2_pallas(left, right, block_t=block)
+        return out[:n] if pad else out
     return mimc7_multi([left, right])
 
 
@@ -145,6 +161,31 @@ def poseidon(inputs):
     return poseidon_permute(state)[0]
 
 
+def _pallas_ok(left, right) -> bool:
+    if os.environ.get("OWSHEN_NO_PALLAS") == "1":
+        return False
+    if jax.default_backend() != "tpu":
+        return False  # interpret mode is for correctness tests only
+    return (getattr(left, "ndim", 0) == 2 and right.shape == left.shape
+            and left.shape[-1] == FR.L)
+
+
 def poseidon_hash2(left, right):
-    """Merkle node hash (t=3 Poseidon)."""
+    """Merkle node hash (t=3 Poseidon).
+
+    On TPU, 1-D batches route to the fused Pallas kernel (all 65 rounds
+    resident in VMEM — ~35x the composed-XLA path); everything else (odd
+    ranks, CPU mesh) takes the jnp path.  Both are bit-exact vs the oracle."""
+    if _pallas_ok(left, right):
+        from ..pallas.field_kernels import poseidon_hash2_pallas
+
+        n = left.shape[0]
+        block = 512 if n >= 512 else 128
+        pad = (-n) % block
+        if pad:
+            zpad = jnp.zeros((pad, left.shape[1]), left.dtype)
+            left = jnp.concatenate([left, zpad])
+            right = jnp.concatenate([right, zpad])
+        out = poseidon_hash2_pallas(left, right, block_t=block)
+        return out[:n] if pad else out
     return poseidon([left, right])

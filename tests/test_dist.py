@@ -16,7 +16,7 @@ from owshen_tpu.oracle import curve as ocurve
 from owshen_tpu.oracle import ntt as ontt
 from owshen_tpu.ops import merkle
 from owshen_tpu.parallel.mesh import make_mesh
-from owshen_tpu.parallel.merkle_dist import merkle_root_dist
+from owshen_tpu.parallel.merkle_dist import DistSparseMerkleTree, merkle_root_dist
 from owshen_tpu.parallel.msm_dist import msm_dist
 from owshen_tpu.parallel.ntt_dist import DistNtt
 
@@ -49,6 +49,26 @@ def test_dist_msm(d):
                    ints_to_array(scalars), c=4, lanes=2)
     got = bn254.g1_decode(tuple(x[None] for x in acc))[0]
     assert got == ocurve.G1.msm(pts, scalars)
+
+
+@pytest.mark.parametrize("d", [8])
+def test_dist_sparse_insert(d):
+    """VERDICT r1 #9: dist insert matches oracle_sparse_root on an 8-device
+    mesh at depth 16 (two batches, cross-chip indices, overwrite case)."""
+    mesh = make_mesh(d)
+    depth = 16
+    t = DistSparseMerkleTree(mesh, depth)
+    entries = {}
+    batches = (
+        [(0, 111), (3, 222), (40000, 333), (65535, 444)],
+        [(1, 555), (40000, 666), (30000, 777)],  # overwrite + new chip
+    )
+    for batch in batches:
+        idxs = [i for i, _ in batch]
+        vals = [v for _, v in batch]
+        t.insert_ints(idxs, vals)
+        entries.update(dict(batch))
+        assert t.root_int() == merkle.oracle_sparse_root(entries, depth)
 
 
 @pytest.mark.parametrize("d", [4, 8])
