@@ -166,8 +166,41 @@ def main():
     o_pps = 4 / (time.perf_counter() - t0)
     log(f"oracle G1 scalar-mul: {o_pps:.0f} points/s")
 
+    # config 5 runs BEFORE the largest MSM: a 2^22 attempt that overruns HBM
+    # takes the worker down with it (observed), and proofs/s evidence matters
+    # more than the last MSM size
+    if os.environ.get("BENCH_SKIP_GROTH16") != "1":
+        try:
+            from owshen_tpu.circuits import pool
+            from owshen_tpu.groth16 import groth16
+
+            w = pool.DepositWitness(secret=12345, salt=67890, amount=1000)
+            com = pool.commitment_of(w.secret, w.salt, w.amount)
+            b = pool.deposit_circuit(w)
+            t0 = time.perf_counter()
+            pk, vk = groth16.setup(b)
+            t_setup = time.perf_counter() - t0
+            groth16.prove(pk, b, msm_lanes=256)  # compile
+            t0 = time.perf_counter()
+            proof = groth16.prove(pk, b, msm_lanes=256)
+            t_prove = time.perf_counter() - t0
+            ok = groth16.verify(vk, [com, w.amount], proof)
+            m = b.num_vars
+            o_est = (3 * m + pk.n_domain) / o_pps
+            results["groth16_prove_deposit"] = {
+                "constraints": len(b.constraints), "setup_s": t_setup,
+                "prove_s": t_prove, "proofs_per_s": 1 / t_prove,
+                "verify_ok": bool(ok), "oracle_est_s": o_est,
+                "vs_baseline": o_est / t_prove}
+            log(f"Groth16 deposit ({len(b.constraints)} constraints): "
+                f"setup {t_setup:.1f}s, prove {t_prove:.2f}s "
+                f"({1/t_prove:.2f} proofs/s, {o_est/t_prove:,.0f}x oracle "
+                f"est), verify={ok}")
+        except Exception as e:  # noqa: BLE001
+            log(f"groth16 bench failed: {e}")
+
     msm_out = None
-    for log_npts, lanes in ((20, 1024), (22, 2048)):
+    for log_npts, lanes in ((20, 1024), (22, 1024)):
         n = 1 << log_npts
         base = bn254.g1_encode([bn254.G1_GEN] * (1 << 14))
         pts = tuple(jnp.tile(a, (n >> 14, 1) if a.ndim == 2 else (n >> 14,))
@@ -189,39 +222,6 @@ def main():
         msm_out = {"metric": f"msm_g1_2^{log_npts}_mpoints_per_s",
                    "value": round(mpps, 3), "unit": "Mpoints/s",
                    "vs_baseline": round(vsb, 1)}
-
-    # ---- config 5: Groth16 prove (deposit circuit) -------------------------
-    if os.environ.get("BENCH_SKIP_GROTH16") != "1":
-        try:
-            from owshen_tpu.circuits import pool
-            from owshen_tpu.groth16 import groth16
-
-            w = pool.DepositWitness(secret=12345, salt=67890, amount=1000)
-            com = pool.commitment_of(w.secret, w.salt, w.amount)
-            b = pool.deposit_circuit(w)
-            t0 = time.perf_counter()
-            pk, vk = groth16.setup(b)
-            t_setup = time.perf_counter() - t0
-            groth16.prove(pk, b, msm_lanes=256)  # compile
-            t0 = time.perf_counter()
-            proof = groth16.prove(pk, b, msm_lanes=256)
-            t_prove = time.perf_counter() - t0
-            ok = groth16.verify(vk, [com, w.amount], proof)
-            # oracle estimate: the dominant cost is ~4 MSMs of m≈n_constr
-            # points + 7 NTTs — scalar-muls at the oracle rate
-            m = b.num_vars
-            o_est = (3 * m + pk.n_domain) / o_pps
-            results["groth16_prove_deposit"] = {
-                "constraints": len(b.constraints), "setup_s": t_setup,
-                "prove_s": t_prove, "proofs_per_s": 1 / t_prove,
-                "verify_ok": bool(ok), "oracle_est_s": o_est,
-                "vs_baseline": o_est / t_prove}
-            log(f"Groth16 deposit ({len(b.constraints)} constraints): "
-                f"setup {t_setup:.1f}s, prove {t_prove:.2f}s "
-                f"({1/t_prove:.2f} proofs/s, {o_est/t_prove:,.0f}x oracle "
-                f"est), verify={ok}")
-        except Exception as e:  # noqa: BLE001
-            log(f"groth16 bench failed: {e}")
 
     results["total_bench_s"] = time.time() - t_start
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),

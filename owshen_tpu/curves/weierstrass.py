@@ -27,6 +27,25 @@ class Weierstrass:
         self.b3_int = b3
         self.b3 = K.encode_const(b3)
 
+    def _pallas_block(self, p):
+        """Pick a Pallas block size for a fused G1 add/double, or None to
+        take the composed-XLA path (non-Fq fields, CPU mesh, odd batches)."""
+        import os
+
+        from ..fields.field import FQ
+
+        if self.K is not FQ or os.environ.get("OWSHEN_NO_PALLAS") == "1":
+            return None
+        if jax.default_backend() != "tpu":
+            return None
+        import numpy as np
+
+        n = int(np.prod(p[0].shape[:-1])) if p[0].ndim >= 2 else 0
+        for block in (512, 128):
+            if n >= block and n % block == 0:
+                return block
+        return None
+
     def identity_like(self, x):
         K = self.K
         return (K.zeros_like(x), K.one_like(x), K.zeros_like(x))
@@ -35,7 +54,15 @@ class Weierstrass:
         return self.K.is_zero(p[2])
 
     def add(self, p, q):
-        """Complete addition (RCB15 algorithm 7, a=0): 12M + 2·b3-mul."""
+        """Complete addition (RCB15 algorithm 7, a=0): 12M + 2·b3-mul.
+
+        On TPU, Fq batches route to the fused Pallas kernel (all 14 muls +
+        17 add/subs resident in VMEM)."""
+        block = self._pallas_block(p) if p[0].shape == q[0].shape else None
+        if block is not None:
+            from ..pallas.field_kernels import g1_add_pallas
+
+            return g1_add_pallas(p, q, block_t=block)
         K = self.K
         X1, Y1, Z1 = p
         X2, Y2, Z2 = q
@@ -60,6 +87,11 @@ class Weierstrass:
 
     def double(self, p):
         """Complete doubling (RCB15 algorithm 9, a=0): 6M + 2S + 1·b3-mul."""
+        block = self._pallas_block(p)
+        if block is not None:
+            from ..pallas.field_kernels import g1_double_pallas
+
+            return g1_double_pallas(p, block_t=block)
         K = self.K
         X, Y, Z = p
         t0 = K.sqr(Y)

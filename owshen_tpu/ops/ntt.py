@@ -84,11 +84,27 @@ class NttDomain:
             x = x.reshape((n,) + rest)
         return x
 
+    def _pallas_ok(self, x) -> bool:
+        import os
+
+        return (self.F is FR and x.ndim == 2 and self.log_n >= 10
+                and jax.default_backend() == "tpu"
+                and os.environ.get("OWSHEN_NO_PALLAS") != "1")
+
     def ntt(self, x):
+        if self._pallas_ok(x):
+            from ..pallas.ntt_kernels import ntt_pallas
+
+            return ntt_pallas(x, self.log_n)
         return self._transform(x, self.pows)
 
     def intt(self, x):
-        y = self._transform(x, self.pows_inv)
+        if self._pallas_ok(x):
+            from ..pallas.ntt_kernels import ntt_pallas
+
+            y = ntt_pallas(x, self.log_n, inverse=True)
+        else:
+            y = self._transform(x, self.pows_inv)
         n_inv = jnp.asarray(self.F.const(self.n_inv))
         return self.F.mul(y, n_inv[None])
 

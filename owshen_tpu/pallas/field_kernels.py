@@ -43,9 +43,10 @@ def _interpret() -> bool:
 # ---------------------------------------------------------------------------
 
 def _shift_down_rows(x, d: int):
-    """Row i -> row i+d (zero-fill top): the limb-major _shift_up."""
-    pad = jnp.zeros((d,) + x.shape[1:], x.dtype)
-    return jnp.concatenate([pad, x[:-d]], axis=0)
+    """Limb-row i -> i+d (zero-fill top) along axis -2 (the limb axis;
+    arbitrary leading batch dims)."""
+    pad = jnp.zeros(x.shape[:-2] + (d,) + x.shape[-1:], x.dtype)
+    return jnp.concatenate([pad, x[..., :-d, :]], axis=-2)
 
 
 def _resolve_chunk_lm(cols):
@@ -53,45 +54,47 @@ def _resolve_chunk_lm(cols):
 
     Weight/shift vectors are built with in-kernel iota (Pallas kernels may
     not close over host ndarrays)."""
-    n = cols.shape[0]
+    n = cols.shape[-2]
     v = cols & MASK
     g = cols >> W
     p = (v == MASK).astype(jnp.uint32)
     iota = jax.lax.broadcasted_iota(jnp.uint32, (n, 1), 0)
     w = jnp.uint32(1) << iota
     # Mosaic lacks unsigned reductions; values < 2^31 so int32 is exact
-    G = jnp.sum((g * w).astype(jnp.int32), axis=0,
-                keepdims=True).astype(jnp.uint32)    # (1, T)
-    P = jnp.sum((p * w).astype(jnp.int32), axis=0,
+    G = jnp.sum((g * w).astype(jnp.int32), axis=-2,
+                keepdims=True).astype(jnp.uint32)    # (..., 1, T)
+    P = jnp.sum((p * w).astype(jnp.int32), axis=-2,
                 keepdims=True).astype(jnp.uint32)
     cin = (P + (G << 1)) ^ P
-    cin_rows = (cin >> iota) & 1                     # (n, T)
-    return (v + cin_rows) & MASK, (cin >> n) & 1     # limbs, carry (1, T)
+    cin_rows = (cin >> iota) & 1                     # (..., n, T)
+    return (v + cin_rows) & MASK, (cin >> n) & 1
 
 
 def _canon_lm(cols, n_out: int):
     """Carry-canonicalize (k, T) columns (< 2^31) to (n_out, T) limbs +
     (1, T) carry.  Same contract as field._carry_canon, limb-major."""
-    k = cols.shape[0]
+    k = cols.shape[-2]
     n = n_out + 1
     if k < n:
-        cols = jnp.concatenate(
-            [cols, jnp.zeros((n - k,) + cols.shape[1:], jnp.uint32)], axis=0)
+        zfill = jnp.zeros(cols.shape[:-2] + (n - k,) + cols.shape[-1:],
+                          jnp.uint32)
+        cols = jnp.concatenate([cols, zfill], axis=-2)
     elif k > n:
-        cols = cols[:n]
+        cols = cols[..., :n, :]
     for _ in range(2):
         cols = (cols & MASK) + _shift_down_rows(cols >> W, 1)
     parts, carry, start = [], None, 0
     while start < n:
         size = min(24, n - start)
-        chunk = cols[start:start + size]
+        chunk = cols[..., start:start + size, :]
         if carry is not None:
-            chunk = jnp.concatenate([chunk[:1] + carry, chunk[1:]], axis=0)
+            chunk = jnp.concatenate(
+                [chunk[..., :1, :] + carry, chunk[..., 1:, :]], axis=-2)
         part, carry = _resolve_chunk_lm(chunk)
         parts.append(part)
         start += size
-    out = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
-    return out[:n_out], out[n_out:n_out + 1]
+    out = jnp.concatenate(parts, axis=-2) if len(parts) > 1 else parts[0]
+    return out[..., :n_out, :], out[..., n_out:n_out + 1, :]
 
 
 def _acc_rows(cols, x, off: int):
@@ -99,18 +102,18 @@ def _acc_rows(cols, x, off: int):
 
     Pure concatenate+add — `.at[slice].add` would lower to a scatter whose
     index constant Pallas rejects as a captured array."""
-    n = cols.shape[0]
-    x = x[: max(0, n - off)]
-    if x.shape[0] == 0:
+    n = cols.shape[-2]
+    x = x[..., : max(0, n - off), :]
+    if x.shape[-2] == 0:
         return cols
     pieces = []
     if off:
-        pieces.append(jnp.zeros((off,) + x.shape[1:], x.dtype))
+        pieces.append(jnp.zeros(x.shape[:-2] + (off,) + x.shape[-1:], x.dtype))
     pieces.append(x)
-    tail = n - off - x.shape[0]
+    tail = n - off - x.shape[-2]
     if tail:
-        pieces.append(jnp.zeros((tail,) + x.shape[1:], x.dtype))
-    return cols + (jnp.concatenate(pieces, axis=0) if len(pieces) > 1
+        pieces.append(jnp.zeros(x.shape[:-2] + (tail,) + x.shape[-1:], x.dtype))
+    return cols + (jnp.concatenate(pieces, axis=-2) if len(pieces) > 1
                    else pieces[0])
 
 
@@ -119,27 +122,42 @@ def _prod_cols_lm(a, b, n_cols: int):
 
     a: (L, T); b: (L, T) or (L, 1) (fixed multiplier broadcast).  Columns
     accumulate 2L 16-bit halves < 2^21.  Shifted full-block adds only."""
-    cols = jnp.zeros((n_cols,) + a.shape[1:], jnp.uint32)
-    bb = jnp.broadcast_to(b, (L,) + a.shape[1:]) if b.shape[1:] != a.shape[1:] else b
+    cols = jnp.zeros(a.shape[:-2] + (n_cols,) + a.shape[-1:], jnp.uint32)
+    bb = jnp.broadcast_to(b, a.shape) if b.shape != a.shape else b
     for i in range(L):
-        p = a[i:i + 1] * bb                          # (L, T), exact in u32
+        p = a[..., i:i + 1, :] * bb                  # (..., L, T), exact u32
         cols = _acc_rows(cols, p & MASK, i)
         cols = _acc_rows(cols, p >> W, i + 1)
     return cols
 
 
-def _sub_lm(F: Field, a, b_rows):
-    """a - b (limb-major); b_rows (L, 1) fixed.  Returns (limbs, borrow)."""
-    cols = a + (MASK - b_rows)
-    cols = jnp.concatenate([cols[:1] + 1, cols[1:]], axis=0)
+def _sub_raw_lm(a, b):
+    """a - b limbwise (limb-major, b any shape broadcastable to a):
+    complement-add through the canonicalizer.  Returns (limbs, borrow)."""
+    cols = a + (MASK - b)
+    cols = jnp.concatenate(
+        [cols[..., :1, :] + 1, cols[..., 1:, :]], axis=-2)
     limbs, carry = _canon_lm(cols, L)
     return limbs, 1 - carry
 
 
+def _sub_lm(F: Field, a, b_rows):
+    """a - b (limb-major).  Returns (limbs, borrow)."""
+    return _sub_raw_lm(a, b_rows)
+
+
+def _submod_lm(F: Field, p_rows, a, b):
+    """Field subtraction a - b mod p (both < p), limb-major."""
+    d, borrow = _sub_raw_lm(a, b)
+    d_plus, _ = _canon_lm(d + p_rows, L)
+    return jnp.where(borrow != 0, d_plus, d)
+
+
 @functools.lru_cache(maxsize=None)
 def _f_consts(field_name: str):
-    F = FR if field_name == "fr" else None
-    assert F is not None
+    from ..fields.field import get_field
+
+    F = get_field(field_name)
     return (
         np.asarray(int_to_limbs(F.p, L), np.uint32)[:, None],
         np.asarray(int_to_limbs(F.nprime, L), np.uint32)[:, None],
@@ -149,12 +167,12 @@ def _f_consts(field_name: str):
 def _mul_lm(F: Field, p_rows, np_rows, a, b):
     """Montgomery product, limb-major: a (L, T) × b (L, T) or (L, 1)."""
     ab = _prod_cols_lm(a, b, 2 * L)
-    t_lo, _ = _canon_lm(ab[:L], L)
+    t_lo, _ = _canon_lm(ab[..., :L, :], L)
     m_cols = _prod_cols_lm(t_lo, np_rows, L)
     m, _ = _canon_lm(m_cols, L)
     mp = _prod_cols_lm(m, p_rows, 2 * L)
     u, _ = _canon_lm(mp + ab, 2 * L)
-    limbs = u[L:]
+    limbs = u[..., L:, :]
     d, borrow = _sub_lm(F, limbs, p_rows)
     return jnp.where(borrow == 0, d, limbs)
 
@@ -357,3 +375,137 @@ def mont_mul_pallas(a, b, block_t: int = 1024):
         interpret=_interpret(),
     )(a.T, b.T, *(jnp.asarray(v) for v in _f_consts("fr")))
     return out.T
+
+
+# ---------------------------------------------------------------------------
+# Fused complete G1 add / double kernels (short Weierstrass a=0 over Fq)
+# ---------------------------------------------------------------------------
+
+def _wadd_lm(mul, add, sub, mulc_b3, P1, P2):
+    """RCB15 algorithm 7 (a=0), limb-major — mirrors
+    curves/weierstrass.Weierstrass.add."""
+    X1, Y1, Z1 = P1
+    X2, Y2, Z2 = P2
+    t0 = mul(X1, X2)
+    t1 = mul(Y1, Y2)
+    t2 = mul(Z1, Z2)
+    t3 = sub(mul(add(X1, Y1), add(X2, Y2)), add(t0, t1))
+    t4 = sub(mul(add(Y1, Z1), add(Y2, Z2)), add(t1, t2))
+    t5 = sub(mul(add(X1, Z1), add(X2, Z2)), add(t0, t2))
+    three_t0 = add(add(t0, t0), t0)
+    t2b = mulc_b3(t2)
+    z3 = add(t1, t2b)
+    t1b = sub(t1, t2b)
+    y3 = mulc_b3(t5)
+    X3 = sub(mul(t3, t1b), mul(t4, y3))
+    Y3 = add(mul(y3, three_t0), mul(t1b, z3))
+    Z3 = add(mul(z3, t4), mul(three_t0, t3))
+    return X3, Y3, Z3
+
+
+def _wdbl_lm(mul, add, sub, mulc_b3, P1):
+    """RCB15 algorithm 9 (a=0), limb-major — mirrors Weierstrass.double."""
+    X, Y, Z = P1
+    t0 = mul(Y, Y)
+    z3 = add(t0, t0)
+    z3 = add(z3, z3)
+    z3 = add(z3, z3)
+    t1 = mul(Y, Z)
+    t2 = mulc_b3(mul(Z, Z))
+    X3 = mul(t2, z3)
+    Y3 = add(t0, t2)
+    Z3 = mul(t1, z3)
+    t1 = add(t2, t2)
+    t2 = add(t1, t2)
+    t0 = sub(t0, t2)
+    Y3 = add(X3, mul(t0, Y3))
+    t1 = mul(X, Y)
+    X3 = mul(t0, t1)
+    X3 = add(X3, X3)
+    return X3, Y3, Z3
+
+
+def _field_ops(p_ref, np_ref, b3_ref):
+    FQ_ = None  # field object only used for signatures
+    p_rows, np_rows = p_ref[...], np_ref[...]
+    b3 = b3_ref[...]
+    mul = lambda a, b: _mul_lm(FQ_, p_rows, np_rows, a, b)
+    add = lambda a, b: _add_lm(FQ_, p_rows, a, b)
+    sub = lambda a, b: _submod_lm(FQ_, p_rows, a, b)
+    mulc = lambda a: _mul_lm(FQ_, p_rows, np_rows, a, b3)
+    return mul, add, sub, mulc
+
+
+def _g1_add_kernel(x1, y1, z1, x2, y2, z2, p_ref, np_ref, b3_ref,
+                   ox, oy, oz):
+    mul, add, sub, mulc = _field_ops(p_ref, np_ref, b3_ref)
+    X3, Y3, Z3 = _wadd_lm(mul, add, sub, mulc,
+                          (x1[...], y1[...], z1[...]),
+                          (x2[...], y2[...], z2[...]))
+    ox[...], oy[...], oz[...] = X3, Y3, Z3
+
+
+def _g1_dbl_kernel(x1, y1, z1, p_ref, np_ref, b3_ref, ox, oy, oz):
+    mul, add, sub, mulc = _field_ops(p_ref, np_ref, b3_ref)
+    X3, Y3, Z3 = _wdbl_lm(mul, add, sub, mulc, (x1[...], y1[...], z1[...]))
+    ox[...], oy[...], oz[...] = X3, Y3, Z3
+
+
+@functools.lru_cache(maxsize=None)
+def _g1_b3_rows():
+    from ..fields.field import FQ
+
+    return np.asarray(int_to_limbs(FQ.to_mont_int(9), L), np.uint32)[:, None]
+
+
+def _flatten_pt(p):
+    """(..., L) leaves -> list of ((N, L) 2-D views, original shape)."""
+    shape = p[0].shape
+    n = int(np.prod(shape[:-1]))
+    return [leaf.reshape(n, L) for leaf in p], shape
+
+
+def _pallas_ec(kernel, n_pts, n_in, block_t, *flat):
+    """Shared pallas_call wrapper: transposed (L, N) blocks, 3 outputs."""
+    spec = pl.BlockSpec((L, block_t), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)
+    cspec = pl.BlockSpec((L, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_pts // block_t,),
+        in_specs=[spec] * n_in + [cspec] * 3,
+        out_specs=(spec, spec, spec),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((L, n_pts), jnp.uint32) for _ in range(3)),
+        interpret=_interpret(),
+    )(*flat)
+    return outs
+
+
+def _ec_args():
+    p_rows, np_rows = (jnp.asarray(v) for v in _f_consts("fq"))
+    return p_rows, np_rows, jnp.asarray(_g1_b3_rows())
+
+
+def g1_add_pallas(p, q, block_t: int = 512):
+    """Complete G1 addition via one fused kernel (14 muls + 17 add/subs all
+    resident in VMEM).  p, q: projective pytrees with uint32[..., L] leaves;
+    batch shapes must match and flatten to a multiple of block_t (callers
+    pad — ops/msm.py shapes are powers of two)."""
+    (f1, shape) = _flatten_pt(p)
+    (f2, _) = _flatten_pt(q)
+    n = f1[0].shape[0]
+    assert n % block_t == 0, (shape, block_t)
+    flat = [leaf.T for leaf in (*f1, *f2)]
+    outs = _pallas_ec(_g1_add_kernel, n, 6, block_t, *flat, *_ec_args())
+    return tuple(o.T.reshape(shape) for o in outs)
+
+
+def g1_double_pallas(p, block_t: int = 512):
+    """Complete G1 doubling via one fused kernel."""
+    (f1, shape) = _flatten_pt(p)
+    n = f1[0].shape[0]
+    assert n % block_t == 0, (shape, block_t)
+    flat = [leaf.T for leaf in f1]
+    outs = _pallas_ec(_g1_dbl_kernel, n, 3, block_t, *flat, *_ec_args())
+    return tuple(o.T.reshape(shape) for o in outs)

@@ -1,0 +1,176 @@
+"""Fused radix-2 NTT kernels (Bailey 4-step on one chip).
+
+A length-n NTT factors as n = n1·n2 (BASELINE config 3; the multi-chip
+variant with all_to_all lives in parallel/ntt_dist.py — this is the same
+decomposition with VMEM tiles in place of chips):
+
+  columns:  n2 independent n1-point NTTs — ONE Pallas kernel per tile of
+            columns, all log2(n1) butterfly stages fused with the data
+            resident in VMEM (the XLA path re-reads HBM per stage);
+  twiddle:  elementwise ω^{k1·i2} correction via the fused mont-mul kernel;
+  rows:     n1 independent n2-point NTTs — same kernel, transposed view.
+
+In-kernel layout: a column tile is uint32[n1, L, T] — butterfly pairing by
+free leading-dim reshapes, limbs on sublanes, T lanes of columns.  Stage
+twiddles are precomputed as a stacked (log2(n1), n1/2, L) table indexed by
+the (unrolled) stage."""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..fields.field import FR, ints_to_array
+from .field_kernels import L, _add_lm, _f_consts, _interpret, _mul_lm, _submod_lm
+
+
+@functools.lru_cache(maxsize=None)
+def _stage_twiddles(log_n: int, inverse: bool) -> np.ndarray:
+    """tab[s-1, j] = ω_{2^s}^j (Montgomery) for j < 2^(s-1), zero-padded to
+    n/2 — the per-stage DIT twiddles."""
+    n = 1 << log_n
+    p = FR.p
+    omega = pow(FR.generator, (p - 1) >> log_n, p)
+    if inverse:
+        omega = pow(omega, -1, p)
+    tab = np.zeros((log_n, n // 2, L), np.uint32)
+    for s in range(1, log_n + 1):
+        m = 1 << s
+        w_m = pow(omega, n // m, p)
+        vals, w = [], 1
+        for _ in range(m // 2):
+            vals.append(FR.to_mont_int(w))
+            w = w * w_m % p
+        tab[s - 1, : m // 2] = ints_to_array(vals, L)
+    return tab
+
+
+@functools.lru_cache(maxsize=None)
+def _bitrev(log_n: int) -> np.ndarray:
+    n = 1 << log_n
+    idx = np.arange(n, dtype=np.uint32)
+    rev = np.zeros(n, dtype=np.uint32)
+    for i in range(log_n):
+        rev = (rev << 1) | ((idx >> i) & 1)
+    return rev.astype(np.int32)
+
+
+def _ntt_col_kernel_factory(log_n1: int):
+    n1 = 1 << log_n1
+
+    def kernel(x_ref, tw_ref, p_ref, np_ref, out_ref):
+        p_rows = p_ref[...]
+        np_rows = np_ref[...]
+        x = x_ref[...]                               # (n1, L, T)
+        T = x.shape[-1]
+        mul = lambda a, b: _mul_lm(FR, p_rows, np_rows, a, b)
+        for s in range(1, log_n1 + 1):
+            m = 1 << s
+            half = m // 2
+            tw = tw_ref[s - 1, :half]                # (half, L)
+            tw = tw[None, :, :, None]                # (1, half, L, 1)
+            y = x.reshape(n1 // m, m, L, T)
+            a, b = y[:, :half], y[:, half:]
+            t = mul(b, jnp.broadcast_to(tw, b.shape))
+            lo = _add_lm(FR, p_rows, a, t)
+            hi = _submod_lm(FR, p_rows, a, t)
+            x = jnp.concatenate([lo, hi], axis=1).reshape(n1, L, T)
+        out_ref[...] = x
+
+    return kernel
+
+
+def _col_ntt(x_t, log_n1: int, inverse: bool, block_t: int):
+    """x_t: uint32[n1, L, n2] bit-reversed along axis 0 -> NTT along axis 0."""
+    n1, _, n2 = x_t.shape
+    tw = jnp.asarray(_stage_twiddles(log_n1, inverse))
+    p_rows, np_rows = (jnp.asarray(v) for v in _f_consts("fr"))
+    return pl.pallas_call(
+        _ntt_col_kernel_factory(log_n1),
+        grid=(n2 // block_t,),
+        in_specs=[
+            pl.BlockSpec((n1, L, block_t), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(tw.shape, lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n1, L, block_t), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n1, L, n2), jnp.uint32),
+        interpret=_interpret(),
+    )(x_t, tw, p_rows, np_rows)
+
+
+def _axis0_ntt(mat, log_n1: int, inverse: bool, block_t: int):
+    """NTT along axis 0 of uint32[n1, n2, L] (natural order in/out)."""
+    n1 = 1 << log_n1
+    x_t = jnp.moveaxis(mat, 2, 1)                    # (n1, L, n2)
+    x_t = jnp.take(x_t, jnp.asarray(_bitrev(log_n1)), axis=0)
+    out = _col_ntt(x_t, log_n1, inverse, block_t)
+    return jnp.moveaxis(out, 1, 2)                   # (n1, n2, L)
+
+
+def ntt_pallas(x, log_n: int, inverse: bool = False):
+    """Full n-point NTT, natural order in/out.  x: uint32[n, L] Montgomery.
+
+    The caller (NttDomain) handles the 1/n scaling of the inverse."""
+    n = 1 << log_n
+    assert x.shape[0] == n
+    log_n1 = log_n // 2
+    n1, n2 = 1 << log_n1, 1 << (log_n - log_n1)
+    block1 = min(n2, 256)
+    block2 = min(n1, 256)
+    p = FR.p
+    omega = pow(FR.generator, (p - 1) >> log_n, p)
+    if inverse:
+        omega = pow(omega, -1, p)
+
+    mat = x.reshape(n1, n2, L)                       # i = i1·n2 + i2
+    a = _axis0_ntt(mat, log_n1, inverse, block1)     # A[k1, i2]
+    # twiddle correction ω^{k1·i2}
+    tw = _full_twiddles(log_n, inverse)              # (n1, n2, L) device
+    from .field_kernels import mont_mul_pallas
+
+    b = mont_mul_pallas(a.reshape(n, L), tw.reshape(n, L),
+                        block_t=min(n, 1024)).reshape(n1, n2, L)
+    # row NTTs: transpose so the transform axis leads
+    c = _axis0_ntt(jnp.moveaxis(b, 1, 0), log_n - log_n1, inverse, block2)
+    # X[k1 + n1·k2] = C[k1, k2]; c is (k2, k1, L), which row-major-flattens
+    # to exactly that natural order
+    return c.reshape(n, L)
+
+
+@functools.lru_cache(maxsize=None)
+def _full_twiddle_host(log_n: int, inverse: bool) -> np.ndarray:
+    """ω^{k1·i2} correction table (n1, n2, L) — built once per domain from
+    two half-size power tables on host (n1 + n2 pows, then an outer index
+    gather is avoided by computing k1·i2 mod n directly)."""
+    n = 1 << log_n
+    log_n1 = log_n // 2
+    n1, n2 = 1 << log_n1, 1 << (log_n - log_n1)
+    p = FR.p
+    omega = pow(FR.generator, (p - 1) >> log_n, p)
+    if inverse:
+        omega = pow(omega, -1, p)
+    pows = np.empty(n, dtype=object)
+    w = 1
+    for i in range(n):
+        pows[i] = FR.to_mont_int(w)
+        w = w * omega % p
+    k1 = np.arange(n1, dtype=np.int64)[:, None]
+    i2 = np.arange(n2, dtype=np.int64)[None, :]
+    idx = (k1 * i2) % n
+    flat = ints_to_array([int(pows[i]) for i in idx.reshape(-1)], L)
+    return flat.reshape(n1, n2, L)
+
+
+@functools.lru_cache(maxsize=None)
+def _full_twiddles(log_n: int, inverse: bool):
+    return jnp.asarray(_full_twiddle_host(log_n, inverse))

@@ -122,7 +122,7 @@ class PrivacyPool:
     # ------------------------------------------------------------------
 
     def prove_withdraw(self, secret: int, salt: int, amount: int, index: int,
-                       recipient: int,
+                       recipient: int, msm_c: int = 8,
                        msm_lanes: int = 256) -> tuple[groth16.Proof, int, int]:
         """Build the witness from the live tree and prove membership.
         Returns (proof, root, nullifier)."""
@@ -134,6 +134,6 @@ class PrivacyPool:
         b = circuits.withdraw_circuit(self.depth, w, root=root,
                                       recipient=recipient)
         assert b.check(), "witness does not satisfy the circuit"
-        proof = groth16.prove(self.pk, b, msm_lanes=msm_lanes)
+        proof = groth16.prove(self.pk, b, msm_c=msm_c, msm_lanes=msm_lanes)
         nullifier = circuits.nullifier_of(secret, index)
         return proof, root, nullifier

@@ -20,16 +20,16 @@ P = groth16.P
 LANES = 64
 
 
-def test_quadratic_e2e():
+def test_quadratic_setup_prove_structure():
+    # cheap structural smoke (full e2e acceptance is covered by the deposit
+    # and withdraw tests below — each prove costs ~2 min on the CPU mesh)
     b = Builder()
     y = b.pub(49)
     x = b.priv(7)
     b.enforce_eq(b.mul(x, x), y)
     assert b.check()
-    pk, vk = groth16.setup(b)
-    proof = groth16.prove(pk, b, msm_lanes=LANES)
-    assert groth16.verify(vk, [49], proof)
-    assert not groth16.verify(vk, [50], proof)
+    mats = b.compiled(2)
+    assert all(i.shape[0] == 2 for i, _ in mats)
 
 
 def _host_tree(depth, index, leaf):
@@ -55,7 +55,7 @@ def test_deposit_e2e():
     b = pool.deposit_circuit(w)
     assert b.check()
     pk, vk = groth16.setup(b)
-    proof = groth16.prove(pk, b, msm_lanes=LANES)
+    proof = groth16.prove(pk, b, msm_c=4, msm_lanes=LANES)
     assert groth16.verify(vk, [com, w.amount], proof)
     # tampered commitment / amount rejected
     assert not groth16.verify(vk, [(com + 1) % P, w.amount], proof)
@@ -75,7 +75,7 @@ def test_withdraw_e2e_and_malleability():
     b = pool.withdraw_circuit(depth, w, root=root, recipient=recipient)
     assert b.check()
     pk, vk = groth16.setup(b)
-    proof = groth16.prove(pk, b, msm_lanes=LANES)
+    proof = groth16.prove(pk, b, msm_c=4, msm_lanes=LANES)
     pub = [root, nul, recipient, amount]
     assert groth16.verify(vk, pub, proof)
     # tamper every public input: root, nullifier, recipient (malleability/

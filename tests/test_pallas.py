@@ -51,3 +51,39 @@ def test_mimc_kernel():
     xs, ys, a, b = _pair(128)
     got = FR.decode(mimc_hash2_pallas(a, b, block_t=128))
     assert got == [ohash.mimc7_multi([x, y]) for x, y in zip(xs, ys)]
+
+
+def test_g1_add_double_kernel():
+    from owshen_tpu.curves import bn254
+    from owshen_tpu.oracle import curve as ocurve
+    from owshen_tpu.pallas.field_kernels import g1_add_pallas, g1_double_pallas
+
+    ks = [rng.randrange(1000) + 1 for _ in range(126)]
+    pts = [ocurve.G1.mul(ocurve.G1_GEN, k) for k in ks] + [None, None]
+    dev = bn254.g1_encode(pts)
+    got = bn254.g1_decode(g1_add_pallas(dev, dev, block_t=128))
+    want = [ocurve.G1.add(p, p) for p in pts]
+    assert got == want
+    got2 = bn254.g1_decode(g1_double_pallas(dev, block_t=128))
+    assert got2 == want
+    # mixed add incl. identity operands
+    rev = tuple(x[::-1] for x in dev)
+    got3 = bn254.g1_decode(g1_add_pallas(dev, rev, block_t=128))
+    want3 = [ocurve.G1.add(a, b) for a, b in zip(pts, pts[::-1])]
+    assert got3 == want3
+
+
+def test_ntt_kernel():
+    from owshen_tpu.oracle import ntt as ontt
+    from owshen_tpu.pallas.ntt_kernels import ntt_pallas
+
+    log_n = 6
+    n = 1 << log_n
+    xs = [rng.randrange(FR.p) for _ in range(n)]
+    omega = pow(FR.generator, (FR.p - 1) >> log_n, FR.p)
+    got = FR.decode(ntt_pallas(jnp.asarray(FR.encode(xs)), log_n))
+    assert got == ontt.ntt(xs, omega)
+    back = FR.decode(ntt_pallas(jnp.asarray(FR.encode(got)), log_n,
+                                inverse=True))
+    n_inv = pow(n, -1, FR.p)
+    assert [v * n_inv % FR.p for v in back] == xs

@@ -22,35 +22,22 @@ def pool():
 
 
 def test_pool_e2e(pool):
+    """One prove covers the whole guard matrix: deposit dup guards, bad-proof
+    rejections (checked BEFORE the nullifier is spent), honest voucher,
+    then replay rejection."""
     secret, salt, amount = rng.randrange(P_FR), rng.randrange(P_FR), 5000
     com = circuits.commitment_of(secret, salt, amount)
     tx_hash = rng.randrange(1 << 255)
 
-    # deposit with dup guards
+    # deposit with dup guards (mint_tx.rs:17-34)
     idxs = pool.deposit([com], [tx_hash])
     assert idxs == [0]
     with pytest.raises(PoolError, match="already deposited"):
         pool.deposit([com], [tx_hash])
 
-    # client proves membership, pool verifies + issues voucher
     recipient = 0xAB
     proof, root, nullifier = pool.prove_withdraw(
-        secret, salt, amount, idxs[0], recipient, msm_lanes=64)
-    voucher = pool.withdraw(proof, root, nullifier, recipient, amount)
-    assert voucher.recipient == recipient and voucher.amount == amount
-
-    # replay: the same nullifier must be rejected (Owshen.sol:68)
-    with pytest.raises(PoolError, match="already spent"):
-        pool.withdraw(proof, root, nullifier, recipient, amount)
-
-
-def test_pool_rejects_bad_proofs(pool):
-    secret, salt, amount = rng.randrange(P_FR), rng.randrange(P_FR), 123
-    com = circuits.commitment_of(secret, salt, amount)
-    idxs = pool.deposit([com], [rng.randrange(1 << 255)])
-    recipient = 0xCD
-    proof, root, nullifier = pool.prove_withdraw(
-        secret, salt, amount, idxs[0], recipient, msm_lanes=64)
+        secret, salt, amount, idxs[0], recipient, msm_c=4, msm_lanes=64)
 
     # front-run attempt: different recipient fails (voucher binding,
     # Owshen.sol:70-73 analogue)
@@ -62,6 +49,11 @@ def test_pool_rejects_bad_proofs(pool):
     # unknown root fails fast
     with pytest.raises(PoolError, match="unknown root"):
         pool.withdraw(proof, (root + 1) % P_FR, nullifier, recipient, amount)
-    # the honest withdrawal still works afterwards
+
+    # honest withdrawal
     voucher = pool.withdraw(proof, root, nullifier, recipient, amount)
-    assert voucher.nullifier == nullifier
+    assert voucher.recipient == recipient and voucher.amount == amount
+
+    # replay: the same nullifier must be rejected (Owshen.sol:68)
+    with pytest.raises(PoolError, match="already spent"):
+        pool.withdraw(proof, root, nullifier, recipient, amount)
