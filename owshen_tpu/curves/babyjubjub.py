@@ -100,6 +100,54 @@ def select(cond, p, q):
     return tuple(F.select(cond, a, b) for a, b in zip(p, q))
 
 
+class _JubOps:
+    """Ops-object adapter (same protocol as curves.weierstrass ops) so the
+    generic batched machinery (FixedBase, ops.msm.sum_scan) drives the
+    Edwards curve too."""
+
+    @staticmethod
+    def add(p, q):
+        return add(p, q)
+
+    @staticmethod
+    def double(p):
+        return double(p)
+
+    @staticmethod
+    def select(cond, p, q):
+        return select(cond, p, q)
+
+    @staticmethod
+    def identity_like(x):
+        return identity_like(x)
+
+
+JUB_OPS = _JubOps()
+
+
+class _JubOracle:
+    """Host affine oracle adapter with identity=None (FixedBase's table
+    builder contract)."""
+
+    @staticmethod
+    def add(p, q):
+        from ..oracle.curve import jub_add
+
+        if p is None:
+            return q
+        if q is None:
+            return p
+        return jub_add(p, q)
+
+
+def jub_encode(pts):
+    """[(x, y) ints | None] -> projective device arrays (None = identity)."""
+    xs = F.encode([0 if p is None else p[0] for p in pts])
+    ys = F.encode([1 if p is None else p[1] for p in pts])
+    zs = F.encode([1] * len(pts))
+    return (xs, ys, zs)
+
+
 def scalar_mul(p, bits):
     """bits: uint32[n_bits, ...] MSB-first (the reference iterates
     to_le_bits().rev(), mod.rs:71)."""
@@ -196,14 +244,15 @@ def eddsa_verify(pk_affine, msg, sig_r_affine, sig_s_canonical, hash_mode="posei
 
     on_curve = on_curve_affine(ax, ay) & on_curve_affine(rx, ry)
 
-    base = encode_points([BASE])
-    base = tuple(jnp.broadcast_to(b[0], x.shape) for b, x in
-                 zip(base, (ax, ay, ax)))
-    one = F.encode([1])[0]
     pk_proj = (ax, ay, jnp.broadcast_to(jnp.asarray(F.one_mont), ax.shape))
     r_proj = (rx, ry, jnp.broadcast_to(jnp.asarray(F.one_mont), rx.shape))
 
-    sb = scalar_mul_int(base, sig_s_canonical)
+    # s·B: fixed-base windowed tables (31 batched adds, not a 254-step scan)
+    from .fixed_base import jub_fixed_base
+
+    sb = jub_fixed_base().mul(jnp.atleast_2d(sig_s_canonical))
+    sb = tuple(a.reshape(ax.shape) for a in sb)
+    # h·A: variable base — stays double-and-add, batched over lanes
     ha = scalar_mul_int(pk_proj, h_canonical)
     rhs = add(r_proj, ha)
     return eq(sb, rhs) & on_curve

@@ -48,10 +48,13 @@ class FixedBase:
             rows.extend(row)
             for _ in range(c):
                 base = oracle.add(base, base)
-        # device tables: pytree leaves (W, 2^c, ...)
+        # HOST (numpy) tables: pytree leaves (W, 2^c, ...).  Kept as numpy —
+        # a jnp.asarray here would return a TRACER when the first caller is
+        # inside a jit trace, and the lru_cached FixedBase would leak it
+        # into every later trace (observed UnexpectedTracerError).
         flat = encode(rows)
         self.tables = tuple(
-            jnp.asarray(leaf).reshape((self.n_windows, 1 << c) + leaf.shape[1:])
+            np.asarray(leaf).reshape((self.n_windows, 1 << c) + leaf.shape[1:])
             for leaf in flat
         )
 
@@ -59,7 +62,7 @@ class FixedBase:
         """scalars: canonical uint32[n, L] -> projective points [n, ...]."""
         digits = window_digits(scalars, self.c, self.n_bits)  # (W, n)
         wi = jnp.arange(self.n_windows, dtype=jnp.int32)[:, None]
-        pts = tuple(t[wi, digits] for t in self.tables)       # (W, n, ...)
+        pts = tuple(jnp.asarray(t)[wi, digits] for t in self.tables)
         return sum_scan(self.curve, pts, axis=0)
 
 
@@ -75,3 +78,13 @@ def g2_fixed_base(c: int = 8) -> FixedBase:
     from ..oracle import curve as ocurve
     from . import bn254
     return FixedBase(bn254.G2, ocurve.G2, bn254.g2_encode, ocurve.G2_GEN, c)
+
+
+@functools.lru_cache(maxsize=None)
+def jub_fixed_base(c: int = 8) -> FixedBase:
+    """Windowed tables for the BabyJubJub base point — turns EdDSA-verify's
+    s·B from a 254-step double-and-add scan (reference mod.rs:68-78) into
+    one gather + 31 batched complete adds."""
+    from . import babyjubjub as jub
+    return FixedBase(jub.JUB_OPS, jub._JubOracle(), jub.jub_encode,
+                     jub.BASE, c)

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import functools
 import hashlib
+import os
 from dataclasses import dataclass
 
 import jax
@@ -183,14 +184,19 @@ def setup(builder: Builder, seed: bytes = b"owshen-tpu-setup"):
     return pk, vk
 
 
-def _matvec(w_mont, idx, coeff):
-    """Batched sparse LC·w: w uint32[m, L] Montgomery; idx int32[n, K];
-    coeff uint32[n, K, L] Montgomery.  Returns uint32[n, L]."""
-    gathered = jnp.take(w_mont, idx, axis=0)      # (n, K, L)
-    prods = FR.mul(gathered, coeff)
-    acc = prods[:, 0]
-    for t in range(1, prods.shape[1]):
-        acc = FR.add(acc, prods[:, t])
+def _matvec(w_mont, mat, n_rows: int):
+    """Batched sparse LC·w over nnz-bucketed rows (r1cs.Builder.compiled):
+    w uint32[m, L] Montgomery; mat = [(row_ids[r], idx[r, k],
+    coeff[r, k, L]), ...].  Returns uint32[n_rows, L] — scatter targets are
+    unique per bucket AND across buckets (each row lives in exactly one)."""
+    acc = jnp.zeros((n_rows, FR.L), jnp.uint32)
+    for rids, idx, coeff in mat:
+        gathered = jnp.take(w_mont, idx, axis=0)  # (r, k, L)
+        prods = FR.mul(gathered, coeff)
+        rowsum = prods[:, 0]
+        for t in range(1, prods.shape[1]):
+            rowsum = FR.add(rowsum, prods[:, t])
+        acc = acc.at[rids].set(rowsum)
     return acc
 
 
@@ -198,10 +204,11 @@ def _h_scalars_device(dom: NttDomain, w_mont, mats):
     """Full device pipeline: witness -> A/B/C evals -> h coefficients ->
     canonical limb scalars for the MSM (no host round-trip)."""
     F = FR
-    (ia, ca), (ib, cb), (ic_, cc) = mats
-    a_e = _matvec(w_mont, ia, ca)
-    b_e = _matvec(w_mont, ib, cb)
-    c_e = _matvec(w_mont, ic_, cc)
+    n = dom.n
+    ma, mb, mc = mats
+    a_e = _matvec(w_mont, ma, n)
+    b_e = _matvec(w_mont, mb, n)
+    c_e = _matvec(w_mont, mc, n)
     a_s = dom.coset_ntt(dom.intt(a_e))
     b_s = dom.coset_ntt(dom.intt(b_e))
     c_s = dom.coset_ntt(dom.intt(c_e))
@@ -211,23 +218,91 @@ def _h_scalars_device(dom: NttDomain, w_mont, mats):
     return F.from_mont(h_c)  # canonical scalars, stays on device
 
 
-def prove(pk: ProvingKey, builder: Builder, seed: bytes = b"owshen-tpu-prove",
-          msm_c: int = 8, msm_lanes: int = 1024) -> Proof:
-    """Generate a proof from a fully-assigned builder."""
+def _pad_for_mesh(pts, sc, d: int, curve):
+    """Pad (points, scalars) so n is a multiple of the mesh size (identity
+    points with zero scalars contribute nothing)."""
+    n = sc.shape[0]
+    pad = (-n) % d
+    if pad == 0:
+        return pts, sc
+    ident = curve.identity_like(pts[0][0])
+    pts = tuple(
+        jnp.concatenate(
+            [a, jnp.broadcast_to(jnp.expand_dims(iz, 0), (pad,) + iz.shape)])
+        for a, iz in zip(pts, ident))
+    sc = jnp.concatenate([sc, jnp.zeros((pad,) + sc.shape[1:], sc.dtype)])
+    return pts, sc
+
+
+def _h_scalars_dist(mesh, dom: NttDomain, w_mont, mats):
+    """Distributed h-pipeline: the three NTT round-trips ride the Bailey
+    all_to_all decomposition over the mesh (parallel/ntt_dist.DistNtt); the
+    tiny sparse matvec stays replicated.  Matches _h_scalars_device
+    bit-exactly (gated by tests/test_dist.py::test_prove_dist)."""
+    from ..parallel.ntt_dist import DistNtt
+
+    F = FR
+    dn = DistNtt(mesh, dom.log_n)
+    evals = [_matvec(w_mont, mat, dom.n) for mat in mats]
+    coset = dom.coset_pows
+    coset_inv = dom.coset_pows_inv
+    specs = []
+    for ev in evals:
+        coeffs = dn.intt(ev)
+        specs.append(dn.ntt(F.mul(coeffs, coset)))
+    a_s, b_s, c_s = specs
+    zinv = jnp.asarray(F.const(dom.z_on_coset_inv()))
+    h_s = F.mul(F.sub(F.mul(a_s, b_s), c_s), zinv[None])
+    h_c = F.mul(dn.intt(h_s), coset_inv)
+    return FR.from_mont(h_c)
+
+
+def prove(pk: ProvingKey, builder: Builder, seed: bytes | None = None,
+          msm_c: int = 8, msm_lanes: int = 1024, mesh=None) -> Proof:
+    """Generate a proof from a fully-assigned builder.
+
+    The Groth16 randomizers (r, s) default to fresh `os.urandom` entropy —
+    zero-knowledge collapses if (r, s) are predictable, since a simulator
+    (or any observer) who knows them can relate proofs of the same witness.
+    Pass an explicit `seed` ONLY for reproducible tests.
+
+    mesh: optional jax.sharding.Mesh — the multi-chip prover (BASELINE
+    config 5, "v5p multi-host"): the three G1 MSMs + the G2 MSM shard
+    points per chip with an ICI all_gather reduce (parallel/msm_dist) and
+    the h-pipeline NTTs ride the Bailey all_to_all (parallel/ntt_dist)."""
     w = builder.witness()
-    rs = _rand_stream(seed + b"|rs")
+    rs = _rand_stream((seed if seed is not None else os.urandom(32)) + b"|rs")
     r, s = next(rs), next(rs)
     n = pk.n_domain
     dom = _domain(n.bit_length() - 1)
 
     mats = builder.compiled(n)
-    mats_dev = tuple((jnp.asarray(i), jnp.asarray(c)) for i, c in mats)
+    mats_dev = tuple(
+        tuple((jnp.asarray(r), jnp.asarray(i), jnp.asarray(c))
+              for r, i, c in mat)
+        for mat in mats)
     w_mont = jnp.asarray(FR.encode(w))
-    h_sc = _h_pipeline(dom)(w_mont, mats_dev)[: n - 1]
+    if mesh is None:
+        h_sc = _h_pipeline(dom)(w_mont, mats_dev)[: n - 1]
+    else:
+        h_sc = _h_scalars_dist(mesh, dom, w_mont, mats_dev)[: n - 1]
 
     w_sc = ints_to_array(w)
-    msm_g1 = _msm_jit("g1", msm_c, msm_lanes)
-    msm_g2 = _msm_jit("g2", msm_c, msm_lanes)
+    if mesh is None:
+        msm_g1 = _msm_jit("g1", msm_c, msm_lanes)
+        msm_g2 = _msm_jit("g2", msm_c, msm_lanes)
+    else:
+        from ..parallel.msm_dist import msm_dist
+
+        d = mesh.devices.size
+
+        def msm_g1(pts, sc):
+            pts, sc = _pad_for_mesh(pts, sc, d, bn254.G1)
+            return msm_dist(mesh, bn254.G1, pts, sc, c=msm_c, lanes=msm_lanes)
+
+        def msm_g2(pts, sc):
+            pts, sc = _pad_for_mesh(pts, sc, d, bn254.G2)
+            return msm_dist(mesh, bn254.G2, pts, sc, c=msm_c, lanes=msm_lanes)
 
     # [A]₁ = α + Σ w_i·A_i(τ) + r·δ
     a_acc = msm_g1(pk.a_g1, w_sc)

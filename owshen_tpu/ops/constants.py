@@ -72,13 +72,27 @@ class _Grain:
                 return self._next_raw()
             self._next_raw()
 
+    def _raw_int(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.next_bit()
+        return v
+
     def field_element(self, p: int, n: int = 254) -> int:
+        """Round-constant sampling: REJECT out-of-range draws (the reference
+        generator's GF(p) branch loops `while random_int >= prime_number`)."""
         while True:
-            v = 0
-            for _ in range(n):
-                v = (v << 1) | self.next_bit()
+            v = self._raw_int(n)
             if v < p:
                 return v
+
+    def field_element_mod(self, p: int, n: int = 254) -> int:
+        """MDS x/y sampling: REDUCE mod p, no rejection (the reference
+        generator's `create_mds_p` coerces the raw draw straight into GF(p)).
+        The asymmetry between this and `field_element` is load-bearing: using
+        rejection for the MDS draws silently diverges from the published
+        poseidonperm_x5_254_3 tables with probability ~0.24 per draw."""
+        return self._raw_int(n) % p
 
 
 def _to_bits(x: int, n: int) -> list[int]:
@@ -94,9 +108,11 @@ def poseidon_params(t: int, p: int = P_FR):
     g = _Grain(t, r_f, r_p)
     n_consts = t * (r_f + r_p)
     C = [g.field_element(p) for _ in range(n_consts)]
-    # MDS sampled from the *same* continuing Grain stream (verified against
-    # the published poseidonperm_x5_254_3 M[0][0])
-    xs = [g.field_element(p) for _ in range(t)]
-    ys = [g.field_element(p) for _ in range(t)]
+    # MDS sampled from the *same* continuing Grain stream, with mod-reduction
+    # (NOT rejection — see field_element_mod).  Verified against the published
+    # poseidonperm_x5_254_3 full permutation vector and the circomlib hash
+    # vectors for every arity t=2..7 (tests/test_hash.py).
+    xs = [g.field_element_mod(p) for _ in range(t)]
+    ys = [g.field_element_mod(p) for _ in range(t)]
     M = [[pow((xs[i] + ys[j]) % p, -1, p) for j in range(t)] for i in range(t)]
     return C, M

@@ -8,8 +8,8 @@ vectorizes across VPU lanes.
 Constant provenance: MiMC7 round constants come from the circomlib keccak
 chain (seed "mimc"); Poseidon constants from the Grain LFSR procedure of the
 Poseidon reference parameter generator (GF(p), x^5, n=254) — the generator is
-pinned by exact 254-bit anchors C[0]=0x0ee9a592... and M[0][0]=0x109b7f41...
-of the published poseidonperm_x5_254_3 instantiation (tests/test_hash.py).
+pinned by the FULL published poseidonperm_x5_254_3 permutation vector and by
+circomlib hash vectors for every arity t=2..7 (tests/test_hash.py).
 Evaluation schedule is the paper-canonical ark → S-box → MDS mix per round.
 Bit-exactness vs the Python oracle is the hard gate for every batch shape.
 """

@@ -164,7 +164,16 @@ class SparseMerkleTree:
     # ---------- host API ----------
 
     def batch_insert(self, indices, values):
-        """indices: int32[k] (device or host); values: uint32[k, L] Montgomery."""
+        """indices: int32[k] (device or host, UNIQUE within the batch);
+        values: uint32[k, L] Montgomery.
+
+        Duplicate indices in one batch would race through the leaf scatter
+        with an XLA-unspecified winner; they are rejected host-side.  Split
+        duplicates across calls for deterministic last-wins."""
+        host_idx = np.asarray(indices)
+        if len(np.unique(host_idx)) != host_idx.size:
+            raise ValueError(
+                "batch_insert requires unique leaf indices within a batch")
         indices = jnp.asarray(indices, jnp.int32)
         self.nodes = self._insert_fn(self.nodes, indices, values)
 

@@ -173,6 +173,181 @@ def _weighted_sum(curve, buckets, ident1):
     return wsum
 
 
+# ---------------------------------------------------------------------------
+# Large-n MSM: window-serial sorted formulation (HBM-safe, gather-light)
+# ---------------------------------------------------------------------------
+#
+# The lane-private scan above needs W·lanes·2^c bucket points resident
+# (1.6 GB at c=8/lanes=1024/W=32 — the round-2 HBM overrun at 2^22) and its
+# scan body is gather+scatter bound.  The formulation below is shaped by
+# measured v5e rates (sort 2^22 ≈ 30 ms, row-gather ≈ 59 ns/row, Pallas
+# complete-add ≈ 18-32 M adds/s at 2^20 width):
+#
+#   * signed 16-bit windows: W = 16 windows over 254 bits, digit magnitudes
+#     in [0, 2^15] (negation is a y-flip — free), so the total add count is
+#     ~16n instead of 32n;
+#   * per window (processed serially under one lax.scan — peak memory is
+#     ONE window's working set): sort (digit, sign, index), gather the
+#     points into sorted order once, then build a pairwise up-sweep tree
+#     (log₂n levels of full-width batched complete adds — no scatter, no
+#     long scans);
+#   * bucket sums are never materialized: with S_e = sum of the first e
+#     sorted points and e_j = #points with digit ≤ j, the window sum
+#     telescopes to  Σ_j j·B_j = m·S_n − Σ_{j=0}^{m−1} S_{e_j}  (m = 2^15),
+#     and each S_{e_j} is read off the up-sweep tree by binary decomposition
+#     of e_j (22 batched conditional adds over all 2^15 boundaries at once);
+#   * windows combine MSB-first under the same scan carry with c doublings
+#     per step (Horner).
+#
+# Work: ~n adds per window for the tree + ~23·2^15 for boundary prefixes +
+# 2^15 for the reduction — ≈ 5M adds/window at 2^22, all in wide batched
+# Pallas calls.  Memory: gathered points + tree levels ≈ 2.4 GB transient.
+
+
+def _signed_digits(scalars, c: int):
+    """Canonical uint32[n, 16] (16-bit limbs) -> signed base-2^c digits.
+
+    Returns (mag uint32[W, n] in [0, 2^(c-1)], sgn bool[W, n]),
+    W = 256//c.  Works for scalars < 2^254 + small slack: BN254 r's top
+    bits leave headroom, so the final carry never overflows the top
+    window (asserted by the oracle gates at every c)."""
+    digits = window_digits(scalars, c)                   # (W, n) int32
+
+    def body(carry, d):
+        t = d + carry
+        big = t >= (1 << (c - 1))
+        signed = t - jnp.where(big, 1 << c, 0)
+        return big.astype(jnp.int32), (jnp.abs(signed).astype(jnp.uint32),
+                                       signed < 0)
+
+    _, (mag, sgn) = jax.lax.scan(body, jnp.zeros(digits.shape[1], jnp.int32),
+                                 digits)
+    return mag, sgn
+
+
+def _flat_rows(pt):
+    """Projective pytree with (n, ...) leaves -> (n, F) row matrix + split
+    metadata (so ONE row gather moves a whole point)."""
+    n = pt[0].shape[0]
+    flats = [leaf.reshape(n, -1) for leaf in pt]
+    widths = [f.shape[1] for f in flats]
+    return jnp.concatenate(flats, axis=1), widths, [leaf.shape[1:] for leaf in pt]
+
+
+def _unflat_rows(rows, widths, shapes):
+    out, off = [], 0
+    for w, s in zip(widths, shapes):
+        out.append(rows[:, off:off + w].reshape((rows.shape[0],) + s))
+        off += w
+    return tuple(out)
+
+
+def msm_sorted(curve, points, scalars, c: int = 16, gather_pad: int = 128):
+    """Σ scalars[i]·points[i] for large n (the BASELINE config-4 engine).
+
+    curve: Weierstrass ops (needs .neg); points: projective pytree [n, ...];
+    scalars: canonical uint32[n, 16]; c: window bits (16 on TPU; tests use 8
+    so the 2^(c-1) boundary batch stays CPU-sized); gather_pad: row width
+    (u32 lanes) the point matrix is padded to for the big per-window gather —
+    measured on v5e: a (2^22, 48) row gather runs at 3.3 GB/s but (2^22, 128)
+    at 28 GB/s, so padding to the full 128-lane vreg width is a 3.5x win.
+    n is padded to a power of two internally.  Returns one projective point."""
+    K = curve.K
+    n = scalars.shape[0]
+    n2 = 1 << max(7, (n - 1).bit_length())
+    ident1 = curve.identity_like(points[0][0])
+    if n2 != n:
+        pad = n2 - n
+        points = tuple(
+            jnp.concatenate(
+                [a, jnp.broadcast_to(jnp.expand_dims(iz, 0), (pad,) + iz.shape)])
+            for a, iz in zip(points, ident1))
+        scalars = jnp.concatenate(
+            [scalars, jnp.zeros((pad,) + scalars.shape[1:], scalars.dtype)])
+    n = n2
+    logn = n.bit_length() - 1
+    m = 1 << (c - 1)
+    mag, sgn = _signed_digits(scalars, c)
+    rows, widths, shapes = _flat_rows(points)
+    fwidth = rows.shape[1]
+    if fwidth < gather_pad:
+        rows = jnp.concatenate(
+            [rows, jnp.zeros((n, gather_pad - fwidth), rows.dtype)], axis=1)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    boundary_j = jnp.arange(m, dtype=jnp.uint32)
+
+    def split(rws):
+        return _unflat_rows(rws[:, :fwidth], widths, shapes)
+
+    def join(pt):
+        r, _, _ = _flat_rows(pt)
+        return r
+
+    def window_body(acc, inp):
+        magw, sgnw = inp
+        # --- sort by digit magnitude; carry sign + index as payload ---
+        skeys, ssgn, perm = jax.lax.sort(
+            (magw, sgnw.astype(jnp.uint32), iota), num_keys=1)
+        g = jnp.take(rows, perm, axis=0)              # THE big gather
+        x, y, z = split(g)
+        # K.select appends the limb axis itself; cond needs shape (n, ...)
+        # matching y without its last axis
+        y = K.select(ssgn.reshape((n,) + (1,) * (y.ndim - 2)) != 0,
+                     K.neg(y), y)
+        # --- pairwise up-sweep tree: levels[k] holds n >> k point-rows
+        # (row-matrix form: ONE gather per level in the boundary walk) ---
+        cur = (x, y, z)
+        levels = [join(cur)]
+        for _ in range(logn):
+            cur = curve.add(tuple(a[0::2] for a in cur),
+                            tuple(a[1::2] for a in cur))
+            levels.append(join(cur))
+        total = tuple(a[0] for a in cur)
+        # --- boundary positions e_j = #digits <= j, all buckets at once ---
+        e = jnp.searchsorted(skeys, boundary_j, side="right").astype(jnp.int32)
+        # --- S_{e_j} via binary decomposition over the tree, MSB-first.
+        # The walk runs as ONE lax.scan over bit position k with the levels
+        # packed into a single buffer — every iteration is shape-uniform, so
+        # Mosaic compiles ONE add kernel for the walk instead of logn+1
+        # (each distinct Pallas instance costs ~25 s of compile through the
+        # tunnel; the unrolled form spent 8+ minutes compiling) ---
+        buf = jnp.concatenate(levels, axis=0)           # (2n-1(+1), F)
+        offsets_host = np.cumsum([0] + [n >> k for k in range(logn)])
+        offsets = jnp.asarray(offsets_host, jnp.int32)  # level k start row
+        pacc0 = tuple(
+            jnp.broadcast_to(jnp.expand_dims(iz, 0), (m,) + iz.shape)
+            for iz in ident1)
+
+        def walk(carry, k):
+            pacc, off = carry
+            # k runs from logn DOWN to 0: e_j can equal n (all digits <= j),
+            # whose decomposition needs bit logn — the tree root itself
+            bit = jax.lax.shift_right_logical(e, k) & 1
+            idx = offsets[k] + jax.lax.shift_right_logical(off, k)
+            node = _unflat_rows(jnp.take(buf, idx, axis=0), widths, shapes)
+            added = curve.add(pacc, node)
+            cond = (bit != 0).reshape((m,) + (1,) * (pacc[0].ndim - 2))
+            pacc = curve.select(cond, added, pacc)
+            return (pacc, off + jax.lax.shift_left(bit, k)), None
+
+        ks = jnp.arange(logn, -1, -1, dtype=jnp.int32)
+        (pacc, _), _ = jax.lax.scan(
+            walk, (pacc0, jnp.zeros((m,), jnp.int32)), ks)
+        s_sum = curve.sum_reduce(pacc, axis=0)          # Σ_j S_{e_j}
+        # --- window = m·total − Σ_j S_{e_j} ---
+        mt = total
+        for _ in range(c - 1):
+            mt = curve.double(mt)
+        wsum = curve.add(mt, curve.neg(s_sum))
+        # --- Horner carry (windows arrive MSB-first) ---
+        for _ in range(c):
+            acc = curve.double(acc)
+        return curve.add(acc, wsum), None
+
+    acc, _ = jax.lax.scan(window_body, ident1, (mag[::-1], sgn[::-1]))
+    return acc
+
+
 def msm(curve, points, scalars, c: int = 8, n_bits: int = 256,
         lanes: int = 1024):
     """Σ scalars[i] · points[i].
@@ -184,9 +359,14 @@ def msm(curve, points, scalars, c: int = 8, n_bits: int = 256,
     `lanes` trades HBM footprint (n_windows · lanes · 2^c bucket points)
     against scan depth (n / lanes sequential wide adds); c trades window
     count (256/c passes over the points) against bucket-combine work
-    (lanes · 2^c adds)."""
+    (lanes · 2^c adds).
+
+    Large batches (n ≥ 2^17) route to the window-serial sorted engine
+    (msm_sorted) — HBM-safe at 2^22 and gather-light."""
     assert c in (2, 4, 8, 16)
     n = scalars.shape[0]
+    if n >= (1 << 17) and hasattr(curve, "neg") and scalars.shape[-1] == 16:
+        return msm_sorted(curve, points, scalars, c=16)
     lanes = max(1, min(lanes, n))
     rows = (n + lanes - 1) // lanes
     n_pad = rows * lanes

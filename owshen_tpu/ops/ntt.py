@@ -33,14 +33,22 @@ def _bitrev_indices(log_n: int) -> np.ndarray:
 
 def powers_device(F: Field, base: int, n: int):
     """[1, base, base², …, base^(n-1)] as a Montgomery device array, built by
-    log₂n block-doubling mults (host does only log₂n scalar pows)."""
-    arr = jnp.asarray(F.encode([1]))
-    m = 1
-    while m < n:
-        step = jnp.asarray(F.const(pow(base, m, F.p)))
-        arr = jnp.concatenate([arr, F.mul(arr, step)], axis=0)
-        m *= 2
-    return arr[:n]
+    log₂n block-doubling mults (host does only log₂n scalar pows).
+
+    Runs under ensure_compile_time_eval so the result is CONCRETE even when
+    first touched inside a jit trace — these tables are cached on NttDomain
+    instances shared across traces, and a cached tracer from one trace
+    poisons every later one (observed UnexpectedTracerError in the
+    distributed prover when the single-chip h-pipeline had populated
+    coset_pows first)."""
+    with jax.ensure_compile_time_eval():
+        arr = jnp.asarray(F.encode([1]))
+        m = 1
+        while m < n:
+            step = jnp.asarray(F.const(pow(base, m, F.p)))
+            arr = jnp.concatenate([arr, F.mul(arr, step)], axis=0)
+            m *= 2
+        return arr[:n]
 
 
 class NttDomain:
@@ -87,7 +95,11 @@ class NttDomain:
     def _pallas_ok(self, x) -> bool:
         import os
 
-        return (self.F is FR and x.ndim == 2 and self.log_n >= 10
+        # log_n >= 14 so the Bailey split's column dimension n2 = n / 2^ceil
+        # is >= 128 — smaller n2 feeds Mosaic lane-dim blocks under the vreg
+        # width, a shape range never validated on hardware (advisor r2
+        # finding); mid sizes stay on the (fast enough) composed-XLA path
+        return (self.F is FR and x.ndim == 2 and self.log_n >= 14
                 and jax.default_backend() == "tpu"
                 and os.environ.get("OWSHEN_NO_PALLAS") != "1")
 

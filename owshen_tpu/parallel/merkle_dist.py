@@ -106,8 +106,22 @@ class DistSparseMerkleTree:
             out_specs=(P(CHIP), P()), check_vma=False))
 
     def batch_insert(self, indices, values):
-        """indices int32[k] (global leaf indices); values uint32[k, L]
-        Montgomery.  Returns the replicated root (uint32[L])."""
+        """indices int32[k] (global leaf indices, UNIQUE within the batch);
+        values uint32[k, L] Montgomery.  Returns the replicated root
+        (uint32[L]).
+
+        Duplicate indices in one batch would race through `.at[j].set` with
+        an XLA-unspecified winner, so they are rejected host-side (indices
+        are concrete at call time; PrivacyPool always assigns unique ones —
+        this guards the public API, advisor r2 finding).  Split duplicates
+        across two batch_insert calls for deterministic last-wins."""
+        import numpy as np
+
+        host_idx = np.asarray(indices)
+        if len(np.unique(host_idx)) != host_idx.size:
+            raise ValueError(
+                "batch_insert requires unique leaf indices within a batch "
+                "(split duplicates across calls for last-wins semantics)")
         indices = jnp.asarray(indices, jnp.int32)
         self.nodes, root = self._insert_fn(self.nodes, indices, values)
         return root

@@ -21,6 +21,7 @@ reference checks, keyed by nullifier instead of operator-assigned burn id.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 from ..circuits import pool as circuits
@@ -39,11 +40,20 @@ class PoolError(Exception):
 @dataclass
 class Voucher:
     """The L1-release material (reference: api_services/withdrawals.rs:35-78
-    returns {block_number, sig, token, amount} for Owshen.sol::withdraw*)."""
+    returns {block_number, sig, token, amount} for Owshen.sol::withdraw*).
+
+    The reference voucher is sequencer/owner-SIGNED (Owshen.sol releases
+    funds only against an owner signature over the binding hash,
+    Owshen.sol:70-76; the node's CustomTx carries the sequencer sig,
+    custom.rs:258-287).  Here the signature is EdDSA over BabyJubJub
+    (babyjubjub/mod.rs:210-236 semantics, Poseidon challenge hash) with the
+    keccak binding reduced into Fr as the message."""
     recipient: int
     amount: int
     nullifier: int
     binding: int  # keccak256(recipient, amount, id, chain_id) — Owshen.sol:70-73
+    sig_r: tuple  # EdDSA R = (x, y)
+    sig_s: int
 
 
 class PrivacyPool:
@@ -51,14 +61,24 @@ class PrivacyPool:
     nullifier set + deposit double-spend guards (host sets — the role the
     reference's Key::DepositedTransaction / Key::BurnId KV entries play)."""
 
-    def __init__(self, depth: int = 16, setup_seed: bytes = b"owshen-tpu-pool"):
+    def __init__(self, depth: int = 16, setup_seed: bytes = b"owshen-tpu-pool",
+                 seq_secret: int | None = None):
         self.depth = depth
         self.tree = SparseMerkleTree(depth, "poseidon")
         self.next_index = 0
         self.deposited: set[int] = set()   # L1 tx hashes (mint_tx.rs:17-22)
         self.minted: set[int] = set()      # mint tx hashes (mint_tx.rs:24-30)
         self.nullifiers: set[int] = set()  # burn ids (burn_tx.rs:15-18)
+        self.executed: set[int] = set()    # L1-side isExecuted (Owshen.sol:68)
         self.roots: list[int] = [self.tree.root_int()]
+        # sequencer identity: EdDSA keypair (the role the secp256k1 owner key
+        # plays in the reference, safe_signer.rs:9-39 / cli/mod.rs:27-45)
+        from ..oracle import eddsa as oeddsa
+
+        if seq_secret is None:
+            seq_secret = keccak256_int(b"seq|" + setup_seed) % FR.p
+        self._seq_priv = seq_secret
+        self.seq_pub = oeddsa.to_pub(seq_secret)
         # trusted-setup keys for the withdraw circuit at this depth
         builder = circuits.withdraw_circuit(depth)
         self.pk, self.vk = groth16.setup(builder, seed=setup_seed)
@@ -74,13 +94,22 @@ class PrivacyPool:
         if len(commitments) != len(l1_tx_hashes):
             raise PoolError("commitments/tx_hashes length mismatch")
         mint_ids = []
+        # The guards must also hold WITHIN a batch: the reference applies txs
+        # one at a time (mint_tx.rs records each before the next is checked),
+        # so a duplicate pair inside one batch must be rejected too — the
+        # batch-local seen-sets make the batched API equivalent to N
+        # sequential applies.
+        seen_tx: set[int] = set()
+        seen_mid: set[int] = set()
         for com, txh in zip(commitments, l1_tx_hashes):
-            if txh in self.deposited:
+            if txh in self.deposited or txh in seen_tx:
                 raise PoolError(f"tx {txh:#x} already deposited")  # dup guard 1
             mid = keccak256_int(
                 txh.to_bytes(32, "big") + com.to_bytes(32, "big"))
-            if mid in self.minted:
+            if mid in self.minted or mid in seen_mid:
                 raise PoolError(f"mint {mid:#x} already applied")  # dup guard 2
+            seen_tx.add(txh)
+            seen_mid.add(mid)
             mint_ids.append(mid)
         idxs = list(range(self.next_index, self.next_index + len(commitments)))
         if idxs and idxs[-1] >= (1 << self.depth):
@@ -114,8 +143,64 @@ class PrivacyPool:
         binding = keccak256_int(
             recipient.to_bytes(32, "big") + amount.to_bytes(32, "big")
             + nullifier.to_bytes(32, "big") + CHAIN_ID.to_bytes(32, "big"))
+        # sequencer-sign the binding (reduced into Fr as the EdDSA message) —
+        # the voucher the L1 escrow releases against (Owshen.sol:70-76)
+        from ..oracle import eddsa as oeddsa
+
+        R, s = oeddsa.sign(self._seq_priv,
+                           int.from_bytes(os.urandom(32), "big") % FR.p,
+                           binding % FR.p)
         return Voucher(recipient=recipient, amount=amount,
-                       nullifier=nullifier, binding=binding)
+                       nullifier=nullifier, binding=binding, sig_r=R, sig_s=s)
+
+    # ------------------------------------------------------------------
+    # L1-escrow side: redeem a voucher exactly once (Owshen.sol:66-78)
+    # ------------------------------------------------------------------
+
+    def redeem(self, voucher: Voucher) -> bool:
+        """The escrow contract's checks: recompute the binding hash, verify
+        the sequencer signature, and enforce isExecuted[id] (Owshen.sol:68,
+        70-76).  Mutates the executed set on success."""
+        if voucher.nullifier in self.executed:
+            raise PoolError("voucher already executed")
+        binding = keccak256_int(
+            voucher.recipient.to_bytes(32, "big")
+            + voucher.amount.to_bytes(32, "big")
+            + voucher.nullifier.to_bytes(32, "big")
+            + CHAIN_ID.to_bytes(32, "big"))
+        if binding != voucher.binding:
+            raise PoolError("binding mismatch")
+        from ..oracle import eddsa as oeddsa
+
+        if not oeddsa.verify(self.seq_pub, binding % FR.p,
+                             voucher.sig_r, voucher.sig_s):
+            raise PoolError("bad sequencer signature")
+        self.executed.add(voucher.nullifier)
+        return True
+
+    def verify_vouchers_batch(self, vouchers: list[Voucher]):
+        """TPU batched EdDSA verification of a voucher batch (the hot
+        sequencer-side path; reference analogue: per-tx sig checks in
+        apply_tx, mod.rs:99-115).  Returns bool[n] (no replay accounting)."""
+        import jax.numpy as jnp
+
+        from ..curves import babyjubjub as jub
+        from ..fields.field import ints_to_array
+
+        n = len(vouchers)
+        ax = FR.encode([self.seq_pub[0]] * n)
+        ay = FR.encode([self.seq_pub[1]] * n)
+        rx = FR.encode([v.sig_r[0] for v in vouchers])
+        ry = FR.encode([v.sig_r[1] for v in vouchers])
+        msg = FR.encode([v.binding % FR.p for v in vouchers])
+        s = ints_to_array([v.sig_s for v in vouchers])
+        ok = jub.eddsa_verify((jnp.asarray(ax), jnp.asarray(ay)),
+                              jnp.asarray(msg),
+                              (jnp.asarray(rx), jnp.asarray(ry)),
+                              jnp.asarray(s))
+        import numpy as np
+
+        return np.asarray(ok)
 
     # ------------------------------------------------------------------
     # client-side helpers

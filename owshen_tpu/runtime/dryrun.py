@@ -62,8 +62,29 @@ def run(n_devices: int) -> None:
         dict(enumerate(leaves)), (8 * n_devices - 1).bit_length(), "poseidon")
     assert FR.decode(root[None])[0] == want_root, "merkle_root_dist mismatch"
 
-    print(f"MULTICHIP OK: ntt/msm/merkle distributed on {n_devices} devices "
-          f"({jax.devices()[0].platform})")
+    # --- distributed Groth16 prove (the FULL step: sharded MSMs over the
+    # mesh + all_to_all NTT h-pipeline), bit-exact vs the single-chip
+    # prover under the same seed ---
+    from ..groth16 import groth16
+    from ..groth16.r1cs import Builder
+
+    b = Builder()
+    y = b.pub(49)
+    xvar = b.priv(7)
+    b.enforce_eq(b.mul(xvar, xvar), y)
+    for k in range(32):  # pad rows so the NTT domain (n=128) shards at d=8
+        v = b.priv(k + 2)
+        b.enforce_eq(b.mul(v, v), b.priv((k + 2) ** 2))
+    assert b.check()
+    pk, vk = groth16.setup(b, seed=b"dryrun")
+    proof_d = groth16.prove(pk, b, seed=b"dr", msm_c=4, msm_lanes=2,
+                            mesh=mesh)
+    assert groth16.verify(vk, [49], proof_d), "distributed proof rejected"
+    proof_1 = groth16.prove(pk, b, seed=b"dr", msm_c=4, msm_lanes=2)
+    assert proof_d == proof_1, "distributed prove != single-chip prove"
+
+    print(f"MULTICHIP OK: ntt/msm/merkle/groth16-prove distributed on "
+          f"{n_devices} devices ({jax.devices()[0].platform})")
 
 
 def run_subprocess(n_devices: int) -> None:

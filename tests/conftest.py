@@ -24,7 +24,26 @@ def _needs_reexec() -> bool:
     return os.environ.get(_MARK) != "1"
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="also run tests marked slow (extra CPU-mesh Groth16 proves)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow") or os.environ.get("OWSHEN_RUNSLOW") == "1":
+        return
+    import pytest
+
+    skip = pytest.mark.skip(reason="slow: run with --runslow / OWSHEN_RUNSLOW=1")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: opt-in long tests (extra CPU-mesh proves)")
     if not _needs_reexec():
         import jax
 
@@ -52,3 +71,20 @@ def pytest_configure(config):
     sys.stdout.flush()
     sys.stderr.flush()
     os.execve(sys.executable, [sys.executable, "-m", "pytest", *sys.argv[1:]], env)
+
+
+# ---------------------------------------------------------------------------
+# Shared expensive fixtures (one trusted setup serves protocol + checkpoint
+# + dist tests — CPU-mesh setup/prove dominates suite wall time)
+# ---------------------------------------------------------------------------
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def small_pool():
+    """Depth-2 PrivacyPool: the cryptographic structure is depth-independent
+    and one session-wide instance amortizes its trusted setup."""
+    from owshen_tpu.protocol.pool import PrivacyPool
+
+    return PrivacyPool(depth=2)

@@ -1,0 +1,131 @@
+"""Checkpoint/resume gates (SURVEY.md §5): native KV store semantics,
+SMT round-trip, pool resume with a still-verifying proving key.
+
+Reference anchors: LevelDB-backed persistence src/db/disk.rs:26-63;
+atomic Writebatch commit src/blockchain/mod.rs:90-99."""
+
+import os
+import random
+
+import numpy as np
+import pytest
+
+from owshen_tpu.fields.field import FR
+from owshen_tpu.ops.merkle import SparseMerkleTree, oracle_sparse_root
+from owshen_tpu.runtime import checkpoint
+from owshen_tpu.runtime.store import NativeKvStore, PyKvStore, _load_lib, open_store
+
+rng = random.Random(5)
+
+
+def _stores(tmp_path):
+    out = [("py", PyKvStore(str(tmp_path / "py.db")))]
+    if _load_lib() is not None:
+        out.append(("native", NativeKvStore(str(tmp_path / "native.db"))))
+    return out
+
+
+def test_store_put_get_delete(tmp_path):
+    for name, st in _stores(tmp_path):
+        st.put(b"a", b"1")
+        st.put(b"b", b"\x00" * 100)
+        st.commit()
+        assert st.get(b"a") == b"1", name
+        assert st.get(b"b") == b"\x00" * 100
+        assert st.get(b"absent") is None
+        st.delete(b"a")
+        st.commit()
+        assert st.get(b"a") is None
+        assert st.keys() == [b"b"]
+        st.close()
+
+
+def test_native_store_atomic_batch(tmp_path):
+    """Uncommitted puts are discarded on reopen (Writebatch semantics)."""
+    if _load_lib() is None:
+        pytest.skip("no native toolchain")
+    path = str(tmp_path / "atomic.db")
+    st = NativeKvStore(path)
+    st.put(b"committed", b"yes")
+    st.commit()
+    st.put(b"torn", b"no")
+    # close WITHOUT commit would auto-commit; instead simulate a crash by
+    # dropping the handle path: reopen a second handle on the same file
+    # after only flushing the committed batch.  Emulate the torn tail by
+    # truncating mid-record.
+    st.close()
+    with open(path, "r+b") as fh:
+        fh.seek(0, os.SEEK_END)
+        fh.truncate(fh.tell() - 5)  # tear the last record/marker
+    st2 = NativeKvStore(path)
+    assert st2.get(b"committed") == b"yes"
+    assert st2.get(b"torn") is None
+    st2.close()
+
+
+def test_native_store_reopen_and_compact(tmp_path):
+    if _load_lib() is None:
+        pytest.skip("no native toolchain")
+    path = str(tmp_path / "re.db")
+    with NativeKvStore(path) as st:
+        for i in range(50):
+            st.put(f"k{i:03d}".encode(), os.urandom(64))
+        st.put(b"k000", b"overwritten")
+        st.delete(b"k001")
+        st.commit()
+        want = {k: st.get(k) for k in st.keys()}
+    with NativeKvStore(path) as st:
+        assert {k: st.get(k) for k in st.keys()} == want
+        size_before = os.path.getsize(path)
+        st.compact()
+        assert {k: st.get(k) for k in st.keys()} == want
+        assert os.path.getsize(path) <= size_before
+    with NativeKvStore(path) as st:
+        assert {k: st.get(k) for k in st.keys()} == want
+
+
+def test_smt_checkpoint_roundtrip(tmp_path):
+    depth = 10
+    tree = SparseMerkleTree(depth, "poseidon")
+    idxs = rng.sample(range(1 << depth), 20)
+    vals = [rng.randrange(FR.p) for _ in idxs]
+    tree.insert_ints(idxs, vals)
+    root = tree.root_int()
+    assert root == oracle_sparse_root(dict(zip(idxs, vals)), depth)
+
+    with open_store(str(tmp_path / "smt.db")) as st:
+        checkpoint.save_tree(st, tree)
+        st.commit()
+    with open_store(str(tmp_path / "smt.db")) as st:
+        tree2 = checkpoint.load_tree(st)
+    assert tree2.depth == depth and tree2.hash_name == "poseidon"
+    assert tree2.root_int() == root
+    # resumed tree keeps working: another insert matches the oracle
+    more_i = [7, 513]
+    more_v = [123456, 654321]
+    tree2.insert_ints(more_i, more_v)
+    tree.insert_ints(more_i, more_v)
+    assert tree2.root_int() == tree.root_int()
+
+
+def test_pool_checkpoint_resume(tmp_path, small_pool):
+    """insert -> save -> reload -> same root; a proof made with the RELOADED
+    pk verifies against the RELOADED vk (deterministic resume)."""
+    pool = small_pool
+    path = str(tmp_path / "pool.db")
+    checkpoint.save_pool(pool, path)
+    pool2 = checkpoint.load_pool(path)
+    assert pool2.tree.root_int() == pool.tree.root_int()
+    assert pool2.next_index == pool.next_index
+    assert pool2.deposited == pool.deposited
+    assert pool2.nullifiers == pool.nullifiers
+    # prove with the reloaded key
+    from owshen_tpu.circuits import pool as circuits
+
+    secret, salt, amount = 111, 222, 1000
+    com = circuits.commitment_of(secret, salt, amount)
+    idx = pool2.deposit([com], [0xABCDEF])[0]
+    proof, root, nullifier = pool2.prove_withdraw(
+        secret, salt, amount, idx, recipient=0xCAFE, msm_lanes=64)
+    v = pool2.withdraw(proof, root, nullifier, recipient=0xCAFE, amount=amount)
+    assert v.nullifier == nullifier

@@ -80,3 +80,26 @@ def test_dist_merkle_root(d):
     want = merkle.oracle_sparse_root(
         dict(enumerate(leaves)), (n - 1).bit_length(), "poseidon")
     assert FR.decode(root[None])[0] == want
+
+
+def test_prove_dist():
+    """Distributed Groth16 prove (BASELINE config 5 'v5p multi-host'): the
+    mesh path (msm_dist + DistNtt h-pipeline) is BIT-EXACT vs the
+    single-chip prover under the same seed, and the proof verifies."""
+    from owshen_tpu.groth16 import groth16
+    from owshen_tpu.groth16.r1cs import Builder
+
+    mesh = make_mesh(8)
+    b = Builder()
+    y = b.pub(49)
+    x = b.priv(7)
+    b.enforce_eq(b.mul(x, x), y)
+    for k in range(32):  # n_domain = 128 so DistNtt shards at d=8
+        v = b.priv(k + 2)
+        b.enforce_eq(b.mul(v, v), b.priv((k + 2) ** 2))
+    assert b.check()
+    pk, vk = groth16.setup(b, seed=b"dist-test")
+    p_dist = groth16.prove(pk, b, seed=b"d1", msm_c=4, msm_lanes=2, mesh=mesh)
+    assert groth16.verify(vk, [49], p_dist)
+    p_one = groth16.prove(pk, b, seed=b"d1", msm_c=4, msm_lanes=2)
+    assert p_dist == p_one

@@ -23,6 +23,40 @@ def test_poseidon_grain_anchors():
     assert all(0 <= c < FR.p for c in C)
 
 
+def test_poseidon_published_permutation_vector():
+    """FULL-OUTPUT gate on the published poseidonperm_x5_254_3 test vector:
+    perm(0,1,2)[0].  This (unlike the prefix anchors above) catches any
+    divergence in the Grain stream / MDS reconstruction — the round-2 bug
+    (rejection-sampling the MDS x/y draws instead of mod-reducing them)
+    passed the anchors but failed this."""
+    out = ohash.poseidon_permute([0, 1, 2])
+    assert out[0] == 0x115CC0F5E7D690413DF64C6B9662E9CF2A3617F2743245519E19607A4417189A
+
+
+def test_poseidon_circomlib_vectors_all_arities():
+    """circomlib/circomlibjs published hash vectors, one per arity t=2..7."""
+    vectors = [
+        ([1], 18586133768512220936620570745912940619677854269274689475585506675881198879027),
+        ([1, 2], 7853200120776062878684798364095072458815029376092732009249414926327459813530),
+        ([1, 2, 3, 4], 18821383157269793795438455681495246036402687001665670618754263018637548127333),
+        ([1, 2, 0, 0, 0], 1018317224307729531995786483840663576608797660851238720571059489595066344487),
+        ([3, 4, 5, 10, 23], 13034429309846638789535561449942021891039729847501137143363028890275222221409),
+        ([1, 2, 3, 4, 5, 6], 20400040500897583745843009878988256314335038853985262692600694741116813247201),
+    ]
+    for inputs, want in vectors:
+        assert ohash.poseidon(inputs) == want, f"poseidon({inputs})"
+    # the batched jnp kernel agrees on the t=3 vector
+    got = FR.decode(jax.jit(jhash.poseidon_hash2)(FR.encode([1]), FR.encode([2])))
+    assert got == [vectors[1][1]]
+
+
+def test_mimc7_published_vectors():
+    """go-iden3-crypto mimc7_test.go published vectors (external interop gate
+    for the keccak constant chain + round schedule)."""
+    assert ohash.mimc7(12, 45) == 19746142529723647765530752502670948774458299263315590587358840390982005703908
+    assert ohash.mimc7_multi([12, 45, 78, 41]) == 18226366069841799622585958305961373004333097209608110160936134895615261821931
+
+
 def test_mimc_constants_keccak_chain():
     cts = mimc7_constants()
     assert cts[0] == 0

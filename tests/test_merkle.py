@@ -75,3 +75,21 @@ def test_sparse_overwrite():
     t.insert_ints([3], [10])
     t.insert_ints([3], [20])
     assert t.root_int() == merkle.oracle_sparse_root({3: 20}, 5)
+
+
+def test_smt_duplicate_index_rejected():
+    """Duplicate leaf indices within one batch would race the scatter with
+    an XLA-unspecified winner — the host API rejects them."""
+    import pytest
+
+    from owshen_tpu.ops.merkle import SparseMerkleTree
+
+    t = SparseMerkleTree(4, "poseidon")
+    with pytest.raises(ValueError, match="unique leaf indices"):
+        t.insert_ints([3, 3], [1, 2])
+    # split across batches = deterministic last-wins
+    t.insert_ints([3], [1])
+    t.insert_ints([3], [2])
+    from owshen_tpu.ops.merkle import oracle_sparse_root
+
+    assert t.root_int() == oracle_sparse_root({3: 2}, 4)

@@ -5,6 +5,7 @@ import random
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from owshen_tpu.curves import bn254
 from owshen_tpu.fields.field import FR, ints_to_array
@@ -94,3 +95,70 @@ def test_msm_g2():
     for pt, s in zip(pts, scalars):
         want = ocurve.G2.add(want, ocurve.G2.mul(pt, s))
     assert got == want
+
+
+def test_msm_sorted_vs_oracle():
+    """Window-serial sorted engine (the 2^22 TPU path) at CPU-testable c:
+    c=8 (the TPU config's structure with a smaller boundary batch) and c=4,
+    G1 and G2, including zero / p-1 / high-bit scalars."""
+    from owshen_tpu.ops.msm import msm_sorted
+
+    n = 70
+    ks = [rng.randrange(1000) + 1 for _ in range(n)]
+    scalars = [rng.randrange(FR.p) for _ in range(n)]
+    scalars[0] = 0
+    scalars[1] = FR.p - 1
+    scalars[2] = 1
+    scalars[3] = 1 << 253
+    pts = _g1_points(ks)
+    want = ocurve.G1.msm(pts, scalars)
+    dev_p, dev_s = bn254.g1_encode(pts), ints_to_array(scalars)
+    got = bn254.g1_decode(tuple(x[None] for x in jax.jit(
+        lambda p, s: msm_sorted(bn254.G1, p, s, c=8)
+    )(dev_p, dev_s)))[0]
+    assert got == want, "msm_sorted c=8"
+
+
+@pytest.mark.slow
+def test_msm_sorted_c4():
+    # each msm_sorted variant costs a multi-minute cold CPU-XLA compile;
+    # the default suite gates c=8 (same structure, m=128)
+    from owshen_tpu.ops.msm import msm_sorted
+
+    n = 40
+    scalars = [rng.randrange(FR.p) for _ in range(n)]
+    pts = _g1_points([rng.randrange(500) + 1 for _ in range(n)])
+    got = bn254.g1_decode(tuple(x[None] for x in jax.jit(
+        lambda p, s: msm_sorted(bn254.G1, p, s, c=4)
+    )(bn254.g1_encode(pts), ints_to_array(scalars))))[0]
+    assert got == ocurve.G1.msm(pts, scalars)
+
+
+@pytest.mark.slow
+def test_msm_sorted_g2():
+    from owshen_tpu.ops.msm import msm_sorted
+
+    n = 20
+    pts = [ocurve.G2.mul(ocurve.G2_GEN, rng.randrange(100) + 1)
+           for _ in range(n)]
+    sc = [rng.randrange(FR.p) for _ in range(n)]
+    got = bn254.g2_decode(tuple(x[None] for x in jax.jit(
+        lambda p, s: msm_sorted(bn254.G2, p, s, c=8)
+    )(bn254.g2_encode(pts), ints_to_array(sc))))[0]
+    want = None
+    for pt, s in zip(pts, sc):
+        want = ocurve.G2.add(want, ocurve.G2.mul(pt, s))
+    assert got == want
+
+
+def test_msm_large_window_split_path():
+    """The legacy lane-scan engine's two_c > 512 hi/lo split (c=16) was
+    never executed before (advisor r2 finding): gate it against the oracle
+    at a tiny n so the split algebra ships tested."""
+    n = 8
+    scalars = [rng.randrange(FR.p) for _ in range(n)]
+    pts = _g1_points([rng.randrange(300) + 1 for _ in range(n)])
+    got = bn254.g1_decode(tuple(x[None] for x in jax.jit(
+        lambda p, s: msm(bn254.G1, p, s, c=16, lanes=4)
+    )(bn254.g1_encode(pts), ints_to_array(scalars))))[0]
+    assert got == ocurve.G1.msm(pts, scalars)

@@ -13,12 +13,11 @@ from owshen_tpu.protocol.pool import PoolError, PrivacyPool
 rng = random.Random(77)
 from owshen_tpu.fields.field import P_FR  # noqa: E402
 
-DEPTH = 2  # tiny tree: the cryptographic structure is depth-independent
-
-
 @pytest.fixture(scope="module")
-def pool():
-    return PrivacyPool(depth=DEPTH)
+def pool(small_pool):
+    # session-scoped depth-2 pool shared with test_checkpoint (one trusted
+    # setup serves both — CPU-mesh setup dominates suite wall time)
+    return small_pool
 
 
 def test_pool_e2e(pool):
@@ -29,11 +28,20 @@ def test_pool_e2e(pool):
     com = circuits.commitment_of(secret, salt, amount)
     tx_hash = rng.randrange(1 << 255)
 
-    # deposit with dup guards (mint_tx.rs:17-34)
+    # deposit with dup guards (mint_tx.rs:17-34); the pool is shared
+    # session-wide, so the assigned index is whatever comes next
+    next_expected = pool.next_index
     idxs = pool.deposit([com], [tx_hash])
-    assert idxs == [0]
+    assert idxs == [next_expected]
     with pytest.raises(PoolError, match="already deposited"):
         pool.deposit([com], [tx_hash])
+    # batch-LOCAL duplicates are rejected too (the reference applies txs
+    # one at a time, mint_tx.rs — a dup pair within one batch must fail)
+    com2 = circuits.commitment_of(1, 2, 3)
+    tx2 = rng.randrange(1 << 255)
+    with pytest.raises(PoolError, match="already deposited"):
+        pool.deposit([com2, com2], [tx2, tx2])
+    assert tx2 not in pool.deposited  # failed batch left no partial state
 
     recipient = 0xAB
     proof, root, nullifier = pool.prove_withdraw(
@@ -57,3 +65,44 @@ def test_pool_e2e(pool):
     # replay: the same nullifier must be rejected (Owshen.sol:68)
     with pytest.raises(PoolError, match="already spent"):
         pool.withdraw(proof, root, nullifier, recipient, amount)
+
+
+def test_voucher_signature_and_redeem(pool):
+    """The withdraw voucher is sequencer-EdDSA-signed and redeems exactly
+    once (reference: Owshen.sol:66-78 owner-signature + isExecuted[id];
+    sequencer identity per safe_signer.rs:9-39)."""
+    import dataclasses
+
+    from owshen_tpu.ops.keccak import keccak256_int
+    from owshen_tpu.oracle import eddsa as oeddsa
+
+    secret, salt, amount = 424242, 515151, 777
+    com = circuits.commitment_of(secret, salt, amount)
+    idx = pool.deposit([com], [rng.randrange(1 << 255)])[0]
+    proof, root, nullifier = pool.prove_withdraw(
+        secret, salt, amount, idx, recipient=0xD00D, msm_c=4, msm_lanes=64)
+    v = pool.withdraw(proof, root, nullifier, 0xD00D, amount)
+    # host-oracle signature check
+    assert oeddsa.verify(pool.seq_pub, v.binding % P_FR, v.sig_r, v.sig_s)
+    # L1-side redeem: once OK, replay rejected (isExecuted)
+    assert pool.redeem(v)
+    with pytest.raises(PoolError, match="already executed"):
+        pool.redeem(v)
+    # tampered voucher rejected (binding recomputation catches it)
+    forged = dataclasses.replace(v, amount=v.amount + 1,
+                                 nullifier=v.nullifier + 1)
+    with pytest.raises(PoolError, match="binding mismatch"):
+        pool.redeem(forged)
+    # forged signature rejected
+    bad = dataclasses.replace(v, nullifier=v.nullifier + 2,
+                              binding=0, sig_s=v.sig_s)
+    bad = dataclasses.replace(
+        bad, binding=keccak256_int(
+            bad.recipient.to_bytes(32, "big") + bad.amount.to_bytes(32, "big")
+            + bad.nullifier.to_bytes(32, "big")
+            + (918273).to_bytes(32, "big")))
+    with pytest.raises(PoolError, match="bad sequencer signature"):
+        pool.redeem(bad)
+    # TPU batched verification: good voucher passes, forged fails
+    ok = pool.verify_vouchers_batch([v, bad])
+    assert bool(ok[0]) and not bool(ok[1])
