@@ -7,12 +7,14 @@ the single-threaded host oracle).  All per-config metrics + device info are
 logged to stderr and written to bench_results.json.
 
 Budget discipline (the round-2 driver run timed out at rc=124 before the
-high-value configs): configs run MOST-VALUABLE-FIRST — Groth16 prove
-(config 5), MSM (config 4), NTT (config 3), then the hash/Merkle
-micro-benches — and EVERY per-config failure is recorded as an "error"
-entry in the emitted JSON instead of dying or logging stderr-only.  The
-persistent XLA compile cache is enabled so driver runs after a builder run
-skip compilation entirely.
+high-value configs, and the axon TPU backend has NO persistent compile
+cache, so compiles are paid fresh every run): configs run
+MOST-VALUABLE-FIRST — MSM 2^22 (config 4, the headline; its stdout JSON
+line prints the moment it exists), Groth16 deposit prove (config 5), NTT
+(config 3), the hash/Merkle micro-benches, EdDSA, then the withdraw-d16
+prove last.  EVERY per-config failure is recorded as an "error" entry and
+bench_results.json is checkpointed after each section, so a budget kill
+mid-run loses only the unfinished section.
 
 Baselines are measured, not assumed: the reference publishes no numbers
 (BASELINE.md — "the baseline must be established"), so each kernel is
@@ -64,8 +66,18 @@ def timed(fn, *args, iters: int = 2):
     return min(ts)
 
 
+def _save(results):
+    """Incremental checkpoint of the results artifact: if the driver's
+    budget kills the process mid-bench, everything measured so far is
+    already on disk."""
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_results.json"), "w") as fh:
+        json.dump(results, fh, indent=1, default=float)
+
+
 def _section(results, name):
-    """Decorator-ish context: run fn, record an 'error' entry on failure."""
+    """Decorator-ish context: run fn, record an 'error' entry on failure,
+    checkpoint the artifact either way."""
     class _Ctx:
         def __enter__(self):
             self.t0 = time.time()
@@ -76,8 +88,8 @@ def _section(results, name):
             if et is not None:
                 results[name] = {"error": f"{et.__name__}: {ev}"}
                 log(f"{name} FAILED: {et.__name__}: {ev}")
-                return True  # swallow but RECORD — failure is loud in JSON
-            return False
+            _save(results)
+            return et is not None  # swallow but RECORD — failure is loud
 
     return _Ctx()
 
@@ -126,7 +138,45 @@ def main():
     o_pps = 4 / (time.perf_counter() - t0)
     log(f"oracle G1 scalar-mul: {o_pps:.0f} points/s")
 
-    # ---- config 5 FIRST: Groth16 prove (deposit + withdraw) ---------------
+    # ---- config 4 FIRST: Pippenger MSM 2^22 (the headline metric).  The
+    # TPU backend has no persistent compile cache, so the most valuable
+    # number runs before anything else can eat the budget; the stdout JSON
+    # line is printed the moment it exists. -------------------------------
+    from owshen_tpu.curves import bn254
+    from owshen_tpu.ops.msm import msm
+
+    msm_out = None
+    for log_npts in (22,):
+        name = f"msm_g1_2^{log_npts}"
+        with _section(results, name):
+            n = 1 << log_npts
+            base = bn254.g1_encode([ocurve.G1.mul(ocurve.G1_GEN, k + 1)
+                                    for k in range(1 << 10)])
+            pts = tuple(jnp.tile(a, (n >> 10, 1) if a.ndim == 2 else (n >> 10,))
+                        for a in base)
+            sc = jnp.asarray(rand_scalars_np(n))
+            f = jax.jit(lambda p, s: msm(bn254.G1, p, s))
+            dt = timed(f, pts, sc, iters=2)
+            mpps = n / dt / 1e6
+            vsb = (n / o_pps) / dt
+            results[name] = {
+                "s": dt, "mpoints_per_s": mpps, "oracle_est_s": n / o_pps,
+                "vs_baseline": vsb}
+            log(f"MSM G1 2^{log_npts}: {dt:.3f} s -> {mpps:.2f} Mpoints/s "
+                f"({vsb:,.0f}x oracle)")
+            msm_out = {"metric": f"msm_g1_2^{log_npts}_mpoints_per_s",
+                       "value": round(mpps, 3), "unit": "Mpoints/s",
+                       "vs_baseline": round(vsb, 1)}
+            del pts, sc
+    if msm_out is not None:
+        print(json.dumps(msm_out), flush=True)  # headline lands EARLY
+    else:
+        err = results.get("msm_g1_2^22", {}).get("error", "missing")
+        print(json.dumps({"metric": "msm_g1", "value": 0.0,
+                          "unit": "Mpoints/s", "vs_baseline": 0.0,
+                          "error": err}), flush=True)
+
+    # ---- config 5: Groth16 prove (deposit; withdraw-d16 runs last) --------
     if os.environ.get("BENCH_SKIP_GROTH16") != "1":
         with _section(results, "groth16_prove_deposit"):
             from owshen_tpu.circuits import pool
@@ -154,74 +204,6 @@ def main():
             log(f"Groth16 deposit ({len(b.constraints)} constraints): "
                 f"setup {t_setup:.1f}s, prove {t_prove:.2f}s "
                 f"({1/t_prove:.2f} proofs/s, {o_est/t_prove:,.0f}x oracle est)")
-
-        with _section(results, "groth16_prove_withdraw_d16"):
-            from owshen_tpu.circuits import pool
-            from owshen_tpu.groth16 import groth16
-
-            depth = 16
-            secret, salt, amount, index = 111, 222, 999, 5
-            com = pool.commitment_of(secret, salt, amount)
-            from owshen_tpu.ops.merkle import zero_hashes
-
-            zh = zero_hashes(depth, "poseidon")
-            root = com
-            sibs = []
-            for lvl in range(depth):
-                bit = (index >> lvl) & 1
-                sib = zh[lvl]
-                sibs.append(sib)
-                root = (ohash.poseidon([sib, root]) if bit
-                        else ohash.poseidon([root, sib]))
-            wit = pool.WithdrawWitness(secret=secret, salt=salt, amount=amount,
-                                       index=index, siblings=sibs)
-            b = pool.withdraw_circuit(depth, wit, root=root, recipient=0xBEEF)
-            t0 = time.perf_counter()
-            pk, vk = groth16.setup(b)
-            t_setup = time.perf_counter() - t0
-            groth16.prove(pk, b, msm_lanes=256)
-            t0 = time.perf_counter()
-            proof = groth16.prove(pk, b, msm_lanes=256)
-            t_prove = time.perf_counter() - t0
-            nul = pool.nullifier_of(secret, index)
-            ok = groth16.verify(vk, [root, nul, 0xBEEF, amount], proof)
-            assert ok, "withdraw proof failed to verify"
-            o_est = (3 * b.num_vars + pk.n_domain) / o_pps
-            results["groth16_prove_withdraw_d16"] = {
-                "constraints": len(b.constraints), "setup_s": t_setup,
-                "prove_s": t_prove, "proofs_per_s": 1 / t_prove,
-                "verify_ok": bool(ok), "oracle_est_s": o_est,
-                "vs_baseline": o_est / t_prove}
-            log(f"Groth16 withdraw d16 ({len(b.constraints)} constraints): "
-                f"setup {t_setup:.1f}s, prove {t_prove:.2f}s "
-                f"({1/t_prove:.2f} proofs/s, {o_est/t_prove:,.0f}x oracle est)")
-
-    # ---- config 4: Pippenger MSM (2^20 then 2^22) -------------------------
-    from owshen_tpu.curves import bn254
-    from owshen_tpu.ops.msm import msm
-
-    msm_out = None
-    for log_npts in (20, 22):
-        name = f"msm_g1_2^{log_npts}"
-        with _section(results, name):
-            n = 1 << log_npts
-            base = bn254.g1_encode([ocurve.G1.mul(ocurve.G1_GEN, k + 1)
-                                    for k in range(1 << 10)])
-            pts = tuple(jnp.tile(a, (n >> 10, 1) if a.ndim == 2 else (n >> 10,))
-                        for a in base)
-            sc = jnp.asarray(rand_scalars_np(n))
-            f = jax.jit(lambda p, s: msm(bn254.G1, p, s))
-            dt = timed(f, pts, sc, iters=2)
-            mpps = n / dt / 1e6
-            vsb = (n / o_pps) / dt
-            results[name] = {
-                "s": dt, "mpoints_per_s": mpps, "oracle_est_s": n / o_pps,
-                "vs_baseline": vsb}
-            log(f"MSM G1 2^{log_npts}: {dt:.3f} s -> {mpps:.2f} Mpoints/s "
-                f"({vsb:,.0f}x oracle)")
-            msm_out = {"metric": f"msm_g1_2^{log_npts}_mpoints_per_s",
-                       "value": round(mpps, 3), "unit": "Mpoints/s",
-                       "vs_baseline": round(vsb, 1)}
 
     # ---- config 3: NTT 2^20 -----------------------------------------------
     with _section(results, "ntt_2^20"):
@@ -329,6 +311,50 @@ def main():
             "oracle_verifies_per_s": orate, "vs_baseline": nv / dt / orate}
         log(f"EdDSA batch verify {nv}: {dt*1e3:.1f} ms -> "
             f"{nv/dt:,.0f}/s ({nv/dt/orate:,.0f}x oracle)")
+
+    # ---- config 5b LAST: withdraw-d16 prove (largest compile; runs
+    # after every other number is already on disk) ----------------------
+    if os.environ.get("BENCH_SKIP_GROTH16") != "1":
+        with _section(results, "groth16_prove_withdraw_d16"):
+            from owshen_tpu.circuits import pool
+            from owshen_tpu.groth16 import groth16
+
+            depth = 16
+            secret, salt, amount, index = 111, 222, 999, 5
+            com = pool.commitment_of(secret, salt, amount)
+            from owshen_tpu.ops.merkle import zero_hashes
+
+            zh = zero_hashes(depth, "poseidon")
+            root = com
+            sibs = []
+            for lvl in range(depth):
+                bit = (index >> lvl) & 1
+                sib = zh[lvl]
+                sibs.append(sib)
+                root = (ohash.poseidon([sib, root]) if bit
+                        else ohash.poseidon([root, sib]))
+            wit = pool.WithdrawWitness(secret=secret, salt=salt, amount=amount,
+                                       index=index, siblings=sibs)
+            b = pool.withdraw_circuit(depth, wit, root=root, recipient=0xBEEF)
+            t0 = time.perf_counter()
+            pk, vk = groth16.setup(b)
+            t_setup = time.perf_counter() - t0
+            groth16.prove(pk, b, msm_lanes=256)
+            t0 = time.perf_counter()
+            proof = groth16.prove(pk, b, msm_lanes=256)
+            t_prove = time.perf_counter() - t0
+            nul = pool.nullifier_of(secret, index)
+            ok = groth16.verify(vk, [root, nul, 0xBEEF, amount], proof)
+            assert ok, "withdraw proof failed to verify"
+            o_est = (3 * b.num_vars + pk.n_domain) / o_pps
+            results["groth16_prove_withdraw_d16"] = {
+                "constraints": len(b.constraints), "setup_s": t_setup,
+                "prove_s": t_prove, "proofs_per_s": 1 / t_prove,
+                "verify_ok": bool(ok), "oracle_est_s": o_est,
+                "vs_baseline": o_est / t_prove}
+            log(f"Groth16 withdraw d16 ({len(b.constraints)} constraints): "
+                f"setup {t_setup:.1f}s, prove {t_prove:.2f}s "
+                f"({1/t_prove:.2f} proofs/s, {o_est/t_prove:,.0f}x oracle est)")
 
     results["total_bench_s"] = time.time() - T_START
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -10,8 +10,30 @@ snapshot has no G1/G2 code)."""
 
 from __future__ import annotations
 
+import contextlib
+
 import jax
 import jax.numpy as jnp
+
+# Minimum flattened batch size routed to the fused Pallas kernels.  Every
+# DISTINCT (shape, kernel) Pallas instance costs ~25 s of Mosaic compile
+# through the axon tunnel and the TPU backend has no persistent compile
+# cache, so graph-heavy callers (ops.msm.msm_sorted builds log2(n) tree
+# levels of halving widths) raise this to keep the instance count small —
+# the small-width adds run fine on the composed-XLA path.
+_PALLAS_MIN_ROWS = 128
+
+
+@contextlib.contextmanager
+def pallas_min_rows(n: int):
+    """Trace-time override of the Pallas routing threshold (static)."""
+    global _PALLAS_MIN_ROWS
+    old = _PALLAS_MIN_ROWS
+    _PALLAS_MIN_ROWS = n
+    try:
+        yield
+    finally:
+        _PALLAS_MIN_ROWS = old
 
 
 class Weierstrass:
@@ -30,17 +52,18 @@ class Weierstrass:
     def _pallas_block(self, p):
         """Pick a Pallas block size for a fused G1 add/double, or None to
         take the composed-XLA path (non-Fq fields, CPU mesh, odd batches)."""
-        import os
-
+        from ..config import settings
         from ..fields.field import FQ
 
-        if self.K is not FQ or os.environ.get("OWSHEN_NO_PALLAS") == "1":
+        if self.K is not FQ or settings().no_pallas:
             return None
         if jax.default_backend() != "tpu":
             return None
         import numpy as np
 
         n = int(np.prod(p[0].shape[:-1])) if p[0].ndim >= 2 else 0
+        if n < _PALLAS_MIN_ROWS:
+            return None
         for block in (512, 128):
             if n >= block and n % block == 0:
                 return block

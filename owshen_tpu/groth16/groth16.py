@@ -20,6 +20,7 @@ library (the ceremony is out of scope, as it is for the reference)."""
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import hashlib
 import os
@@ -114,15 +115,55 @@ def _lagrange_at_tau(n: int, tau: int, omega: int):
     return [zh * wjs[j] % P * invs[j] % P * n_inv % P for j in range(n)]
 
 
+# The prover/setup pipelines run PALLAS-FREE by default: at circuit-sized
+# batches (hundreds..8K points) the composed-XLA curve ops cost well under
+# a second of runtime, while every distinct-shape Mosaic kernel costs
+# minutes of compile through the axon tunnel (which has NO persistent
+# compile cache) — the round-2 bench lost its whole budget there.  Set
+# OWSHEN_PROVER_PALLAS=1 to re-enable fused kernels for very large
+# circuits where runtime dominates compile.
+def _prover_pallas_ctx():
+    from ..curves.weierstrass import pallas_min_rows
+
+    from ..config import settings
+
+    if settings().prover_pallas:
+        return contextlib.nullcontext()
+    return pallas_min_rows(1 << 30)
+
+
+@functools.lru_cache(maxsize=None)
+def _fixed_base_jit(group: str, c: int):
+    fb = g1_fixed_base(c) if group == "g1" else g2_fixed_base(c)
+
+    def mul(sc):
+        with _prover_pallas_ctx():
+            return fb.mul(sc)
+
+    return jax.jit(mul)
+
+
+def _batch_device(group: str, exponents, c: int = 8):
+    """[ints] -> device projective points (windowed fixed-base mul).
+
+    The exponent batch is padded to a power of two (zero exponents map to
+    the identity via the window tables' d=0 entries) so every setup call
+    shares a handful of compiled shapes — each distinct shape costs a fresh
+    ~25 s TPU compile (no persistent cache), and the round-2 setup spent
+    ~3 minutes compiling one kernel per exponent-array length."""
+    n = len(exponents)
+    n2 = 1 << max(9, (n - 1).bit_length())
+    sc = ints_to_array([e % P for e in exponents] + [0] * (n2 - n))
+    out = _fixed_base_jit(group, c)(sc)
+    return tuple(a[:n] for a in out)
+
+
 def _g1_batch_device(exponents, c: int = 8):
-    """[ints] -> device projective G1 points (windowed fixed-base mul)."""
-    sc = ints_to_array([e % P for e in exponents])
-    return jax.jit(g1_fixed_base(c).mul)(sc)
+    return _batch_device("g1", exponents, c)
 
 
 def _g2_batch_device(exponents, c: int = 8):
-    sc = ints_to_array([e % P for e in exponents])
-    return jax.jit(g2_fixed_base(c).mul)(sc)
+    return _batch_device("g2", exponents, c)
 
 
 def setup(builder: Builder, seed: bytes = b"owshen-tpu-setup"):
@@ -289,8 +330,30 @@ def prove(pk: ProvingKey, builder: Builder, seed: bytes | None = None,
 
     w_sc = ints_to_array(w)
     if mesh is None:
-        msm_g1 = _msm_jit("g1", msm_c, msm_lanes)
-        msm_g2 = _msm_jit("g2", msm_c, msm_lanes)
+        # pad every MSM to a power-of-two batch so the deposit circuit's
+        # three G1 MSMs (m, m-n_pub, n-1 points) share ONE compiled shape
+        # (each distinct shape is a fresh ~25 s TPU compile, no cache)
+        def _padded(group, curve):
+            inner = _msm_jit(group, msm_c, msm_lanes)
+
+            def call(pts, sc):
+                n_in = sc.shape[0]
+                n2 = 1 << max(9, (n_in - 1).bit_length())
+                if n2 != n_in:
+                    ident = curve.identity_like(pts[0][0])
+                    pts = tuple(
+                        jnp.concatenate(
+                            [a, jnp.broadcast_to(jnp.expand_dims(iz, 0),
+                                                 (n2 - n_in,) + iz.shape)])
+                        for a, iz in zip(pts, ident))
+                    sc = jnp.concatenate(
+                        [sc, jnp.zeros((n2 - n_in,) + sc.shape[1:], sc.dtype)])
+                return inner(pts, sc)
+
+            return call
+
+        msm_g1 = _padded("g1", bn254.G1)
+        msm_g2 = _padded("g2", bn254.G2)
     else:
         from ..parallel.msm_dist import msm_dist
 
@@ -337,7 +400,12 @@ def prove(pk: ProvingKey, builder: Builder, seed: bytes | None = None,
 @functools.lru_cache(maxsize=None)
 def _msm_jit(group: str, c: int, lanes: int):
     curve = bn254.G1 if group == "g1" else bn254.G2
-    return jax.jit(lambda p, sc: msm(curve, p, sc, c=c, lanes=lanes))
+
+    def call(p, sc):
+        with _prover_pallas_ctx():
+            return msm(curve, p, sc, c=c, lanes=lanes)
+
+    return jax.jit(call)
 
 
 @functools.lru_cache(maxsize=None)

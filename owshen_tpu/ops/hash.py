@@ -74,8 +74,11 @@ def mimc_hash2(left, right):
     if _pallas_ok(left, right):
         from ..pallas.field_kernels import mimc_hash2_pallas
 
+        from ..config import settings
+
         n = left.shape[0]
-        block = 512 if n >= 512 else 128
+        blk = settings().hash_block
+        block = blk if n >= blk else 128
         pad = (-n) % block
         if pad:
             zpad = jnp.zeros((pad, left.shape[1]), left.dtype)
@@ -162,7 +165,9 @@ def poseidon(inputs):
 
 
 def _pallas_ok(left, right) -> bool:
-    if os.environ.get("OWSHEN_NO_PALLAS") == "1":
+    from ..config import settings
+
+    if settings().no_pallas:
         return False
     if jax.default_backend() != "tpu":
         return False  # interpret mode is for correctness tests only
@@ -179,8 +184,11 @@ def poseidon_hash2(left, right):
     if _pallas_ok(left, right):
         from ..pallas.field_kernels import poseidon_hash2_pallas
 
+        from ..config import settings
+
         n = left.shape[0]
-        block = 512 if n >= 512 else 128
+        blk = settings().hash_block
+        block = blk if n >= blk else 128
         pad = (-n) % block
         if pad:
             zpad = jnp.zeros((pad, left.shape[1]), left.dtype)

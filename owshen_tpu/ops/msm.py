@@ -242,7 +242,57 @@ def _unflat_rows(rows, widths, shapes):
     return tuple(out)
 
 
-def msm_sorted(curve, points, scalars, c: int = 16, gather_pad: int = 128):
+def _prefix_chunk_scan(curve, rows_pt, Q, C):
+    """Inclusive prefix sums of a length-n point sequence, chunked so every
+    add instance is shape-uniform (ONE Mosaic kernel per distinct width —
+    each distinct-shape Pallas instance costs ~25 s of compile through the
+    tunnel and the TPU backend has no persistent compile cache).
+
+    rows_pt: pytree with (n, ...) leaves in sequence order, n = C*Q with
+    chunk c owning elements [c*Q, (c+1)*Q).  Returns:
+      P    — pytree (Q, C, ...): P[q, c] = sum of chunk c's elements 0..q
+      EXC  — pytree (C, ...):    sum of all elements before chunk c
+    so prefix(e) = EXC[e//Q] + (e%Q > 0 ? P[e%Q - 1, e//Q] : 0)."""
+    # (n, ...) -> (Q, C, ...) with chunk-major order
+    seq = tuple(
+        jnp.moveaxis(a.reshape((C, Q) + a.shape[1:]), 1, 0) for a in rows_pt)
+    ident_c = curve.identity_like(seq[0][0])
+
+    def step(acc, col):
+        acc = curve.add(acc, col)
+        return acc, acc
+
+    totals, P = jax.lax.scan(step, ident_c, seq)      # (C, ...), (Q, C, ...)
+
+    # exclusive prefix over the C chunk totals, two-level so the inner adds
+    # stay one fixed width: C = G*R groups
+    R = min(128, C)
+    G = C // R
+    tot_g = tuple(a.reshape((G, R) + a.shape[1:]) for a in totals)
+    tot_gt = tuple(jnp.moveaxis(a, 1, 0) for a in tot_g)  # (R, G, ...)
+    ident_g = curve.identity_like(tot_gt[0][0])
+
+    def gstep(acc, col):
+        nxt = curve.add(acc, col)
+        return nxt, acc                                # EXCLUSIVE within group
+
+    gtot, exc_in = jax.lax.scan(gstep, ident_g, tot_gt)  # (G,...), (R, G, ...)
+    # exclusive prefix over the G group totals: tiny, single-point scan
+    ident_1 = curve.identity_like(tot_gt[0][0, 0])
+
+    def sstep(acc, p):
+        nxt = curve.add(acc, p)
+        return nxt, acc
+
+    _, gexc = jax.lax.scan(sstep, ident_1, gtot)       # (G, ...)
+    exc = curve.add(tuple(jnp.moveaxis(a, 0, 1) for a in exc_in),
+                    tuple(a[:, None] for a in gexc))   # (G, R, ...)
+    EXC = tuple(a.reshape((C,) + a.shape[2:]) for a in exc)
+    return P, EXC, totals
+
+
+def msm_sorted(curve, points, scalars, c: int | None = None,
+               gather_pad: int | None = None):
     """Σ scalars[i]·points[i] for large n (the BASELINE config-4 engine).
 
     curve: Weierstrass ops (needs .neg); points: projective pytree [n, ...];
@@ -251,7 +301,21 @@ def msm_sorted(curve, points, scalars, c: int = 16, gather_pad: int = 128):
     (u32 lanes) the point matrix is padded to for the big per-window gather —
     measured on v5e: a (2^22, 48) row gather runs at 3.3 GB/s but (2^22, 128)
     at 28 GB/s, so padding to the full 128-lane vreg width is a 3.5x win.
-    n is padded to a power of two internally.  Returns one projective point."""
+    n is padded to a power of two internally.  Returns one projective point.
+
+    Per window: sort by |digit|, gather points into sorted order, compute
+    chunked inclusive prefix sums (_prefix_chunk_scan — every add is one of
+    ~4 fixed shapes, so Mosaic compile stays flat in n), then read the
+    bucket structure off the prefixes via the boundary-telescoping identity
+      Σ_j j·B_j = m·S_n − Σ_{j=0}^{m−1} S_{e_j},   e_j = #digits ≤ j,
+    and fold windows MSB-first with c doublings (Horner)."""
+    from ..config import settings
+
+    cfg = settings()
+    if c is None:
+        c = cfg.msm_window_bits
+    if gather_pad is None:
+        gather_pad = cfg.msm_gather_pad
     K = curve.K
     n = scalars.shape[0]
     n2 = 1 << max(7, (n - 1).bit_length())
@@ -265,8 +329,10 @@ def msm_sorted(curve, points, scalars, c: int = 16, gather_pad: int = 128):
         scalars = jnp.concatenate(
             [scalars, jnp.zeros((pad,) + scalars.shape[1:], scalars.dtype)])
     n = n2
-    logn = n.bit_length() - 1
     m = 1 << (c - 1)
+    # chunk geometry: C as wide as possible (VPU width), Q sequential steps
+    C = min(1 << 14, max(n // 4, 1))
+    Q = n // C
     mag, sgn = _signed_digits(scalars, c)
     rows, widths, shapes = _flat_rows(points)
     fwidth = rows.shape[1]
@@ -279,10 +345,6 @@ def msm_sorted(curve, points, scalars, c: int = 16, gather_pad: int = 128):
     def split(rws):
         return _unflat_rows(rws[:, :fwidth], widths, shapes)
 
-    def join(pt):
-        r, _, _ = _flat_rows(pt)
-        return r
-
     def window_body(acc, inp):
         magw, sgnw = inp
         # --- sort by digit magnitude; carry sign + index as payload ---
@@ -290,50 +352,32 @@ def msm_sorted(curve, points, scalars, c: int = 16, gather_pad: int = 128):
             (magw, sgnw.astype(jnp.uint32), iota), num_keys=1)
         g = jnp.take(rows, perm, axis=0)              # THE big gather
         x, y, z = split(g)
-        # K.select appends the limb axis itself; cond needs shape (n, ...)
-        # matching y without its last axis
-        y = K.select(ssgn.reshape((n,) + (1,) * (y.ndim - 2)) != 0,
-                     K.neg(y), y)
-        # --- pairwise up-sweep tree: levels[k] holds n >> k point-rows
-        # (row-matrix form: ONE gather per level in the boundary walk) ---
-        cur = (x, y, z)
-        levels = [join(cur)]
-        for _ in range(logn):
-            cur = curve.add(tuple(a[0::2] for a in cur),
-                            tuple(a[1::2] for a in cur))
-            levels.append(join(cur))
-        total = tuple(a[0] for a in cur)
+        # K.select appends the element axes itself (one for Fq, two for
+        # Fq2) — cond must be exactly (n,)
+        y = K.select(ssgn != 0, K.neg(y), y)
+        # --- chunked prefix sums over the sorted sequence ---
+        P, EXC, totals = _prefix_chunk_scan(curve, (x, y, z), Q, C)
+        # grand total via the exclusive prefix (ONE add — a log-tree
+        # reduce here would reintroduce a ladder of distinct Pallas shapes)
+        total = curve.add(tuple(a[C - 1] for a in EXC),
+                          tuple(a[C - 1] for a in totals))
         # --- boundary positions e_j = #digits <= j, all buckets at once ---
         e = jnp.searchsorted(skeys, boundary_j, side="right").astype(jnp.int32)
-        # --- S_{e_j} via binary decomposition over the tree, MSB-first.
-        # The walk runs as ONE lax.scan over bit position k with the levels
-        # packed into a single buffer — every iteration is shape-uniform, so
-        # Mosaic compiles ONE add kernel for the walk instead of logn+1
-        # (each distinct Pallas instance costs ~25 s of compile through the
-        # tunnel; the unrolled form spent 8+ minutes compiling) ---
-        buf = jnp.concatenate(levels, axis=0)           # (2n-1(+1), F)
-        offsets_host = np.cumsum([0] + [n >> k for k in range(logn)])
-        offsets = jnp.asarray(offsets_host, jnp.int32)  # level k start row
-        pacc0 = tuple(
-            jnp.broadcast_to(jnp.expand_dims(iz, 0), (m,) + iz.shape)
-            for iz in ident1)
-
-        def walk(carry, k):
-            pacc, off = carry
-            # k runs from logn DOWN to 0: e_j can equal n (all digits <= j),
-            # whose decomposition needs bit logn — the tree root itself
-            bit = jax.lax.shift_right_logical(e, k) & 1
-            idx = offsets[k] + jax.lax.shift_right_logical(off, k)
-            node = _unflat_rows(jnp.take(buf, idx, axis=0), widths, shapes)
-            added = curve.add(pacc, node)
-            cond = (bit != 0).reshape((m,) + (1,) * (pacc[0].ndim - 2))
-            pacc = curve.select(cond, added, pacc)
-            return (pacc, off + jax.lax.shift_left(bit, k)), None
-
-        ks = jnp.arange(logn, -1, -1, dtype=jnp.int32)
-        (pacc, _), _ = jax.lax.scan(
-            walk, (pacc0, jnp.zeros((m,), jnp.int32)), ks)
-        s_sum = curve.sum_reduce(pacc, axis=0)          # Σ_j S_{e_j}
+        # S_{e_j} = EXC[e//Q] + (e%Q > 0 ? P[e%Q-1, e//Q] : identity)
+        c_idx = jnp.clip(e // Q, 0, C - 1)
+        r_idx = e - c_idx * Q                          # in [0, Q]
+        exc_j = tuple(jnp.take(a, c_idx, axis=0) for a in EXC)
+        flatP = tuple(a.reshape((Q * C,) + a.shape[2:]) for a in P)
+        p_idx = jnp.clip(r_idx - 1, 0, Q - 1) * C + c_idx
+        p_j = tuple(jnp.take(a, p_idx, axis=0) for a in flatP)
+        with_p = curve.add(exc_j, p_j)
+        s_j = curve.select(r_idx > 0, with_p, exc_j)   # (m, ...)
+        # --- Σ_j S_{e_j}, chunk-scanned to keep shapes uniform ---
+        R2 = min(128, m)
+        Q2 = m // R2
+        _, EXC2, tot2 = _prefix_chunk_scan(curve, s_j, Q2, R2)
+        s_sum = curve.add(tuple(a[R2 - 1] for a in EXC2),
+                          tuple(a[R2 - 1] for a in tot2))
         # --- window = m·total − Σ_j S_{e_j} ---
         mt = total
         for _ in range(c - 1):
@@ -344,7 +388,10 @@ def msm_sorted(curve, points, scalars, c: int = 16, gather_pad: int = 128):
             acc = curve.double(acc)
         return curve.add(acc, wsum), None
 
-    acc, _ = jax.lax.scan(window_body, ident1, (mag[::-1], sgn[::-1]))
+    from ..curves.weierstrass import pallas_min_rows
+
+    with pallas_min_rows(1 << 7):
+        acc, _ = jax.lax.scan(window_body, ident1, (mag[::-1], sgn[::-1]))
     return acc
 
 
@@ -366,7 +413,7 @@ def msm(curve, points, scalars, c: int = 8, n_bits: int = 256,
     assert c in (2, 4, 8, 16)
     n = scalars.shape[0]
     if n >= (1 << 17) and hasattr(curve, "neg") and scalars.shape[-1] == 16:
-        return msm_sorted(curve, points, scalars, c=16)
+        return msm_sorted(curve, points, scalars)
     lanes = max(1, min(lanes, n))
     rows = (n + lanes - 1) // lanes
     n_pad = rows * lanes

@@ -93,15 +93,16 @@ class NttDomain:
         return x
 
     def _pallas_ok(self, x) -> bool:
-        import os
+        from ..config import settings
 
-        # log_n >= 14 so the Bailey split's column dimension n2 = n / 2^ceil
-        # is >= 128 — smaller n2 feeds Mosaic lane-dim blocks under the vreg
-        # width, a shape range never validated on hardware (advisor r2
-        # finding); mid sizes stay on the (fast enough) composed-XLA path
-        return (self.F is FR and x.ndim == 2 and self.log_n >= 14
-                and jax.default_backend() == "tpu"
-                and os.environ.get("OWSHEN_NO_PALLAS") != "1")
+        # default threshold log_n >= 14 so the Bailey split's column
+        # dimension n2 is >= 128 — smaller n2 feeds Mosaic lane-dim blocks
+        # under the vreg width, a shape range never validated on hardware
+        # (advisor r2 finding); mid sizes stay on the composed-XLA path
+        cfg = settings()
+        return (self.F is FR and x.ndim == 2
+                and self.log_n >= cfg.ntt_pallas_min_logn
+                and jax.default_backend() == "tpu" and not cfg.no_pallas)
 
     def ntt(self, x):
         if self._pallas_ok(x):

@@ -49,8 +49,13 @@ def load_tree(store, key: bytes = b"smt") -> SparseMerkleTree:
 
 
 def save_proving_key(store, pk, key: bytes = b"pk"):
-    """ProvingKey: device point pytrees -> host arrays, one pickled blob."""
-    payload = {f: _to_host(getattr(pk, f)) for f in pk.__dataclass_fields__}
+    """ProvingKey: device point pytrees -> host arrays, one pickled blob.
+    Scalar metadata (n_domain, n_pub) stays as plain ints."""
+    payload = {
+        f: (v if isinstance(v, (int, type(None))) else _to_host(v))
+        for f in pk.__dataclass_fields__
+        for v in [getattr(pk, f)]
+    }
     store.put(key, pickle.dumps(payload))
 
 
