@@ -103,3 +103,12 @@ def test_prove_dist():
     assert groth16.verify(vk, [49], p_dist)
     p_one = groth16.prove(pk, b, seed=b"d1", msm_c=4, msm_lanes=2)
     assert p_dist == p_one
+
+
+def test_dist_sparse_duplicate_index_rejected():
+    """Duplicate leaf indices within one batch are rejected host-side (the
+    colliding scatter's winner is XLA-unspecified — advisor r2 finding)."""
+    mesh = make_mesh(8)
+    t = DistSparseMerkleTree(mesh, 16)
+    with pytest.raises(ValueError, match="unique leaf indices"):
+        t.insert_ints([7, 7], [1, 2])
