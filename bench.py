@@ -30,6 +30,11 @@ import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_tpu")
+# NTT 2^20 takes the composed-XLA path in the bench: the Bailey Pallas
+# kernel's Mosaic compile exceeded 24 min in the round-3 rehearsal (remote
+# compile, no cache) and sank every later section.  Measure the Pallas NTT
+# separately with OWSHEN_NTT_PALLAS_MIN_LOGN unset.
+os.environ.setdefault("OWSHEN_NTT_PALLAS_MIN_LOGN", "22")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
