@@ -399,10 +399,21 @@ def prove(pk: ProvingKey, builder: Builder, seed: bytes | None = None,
 
 @functools.lru_cache(maxsize=None)
 def _msm_jit(group: str, c: int, lanes: int):
+    """Prover MSM engine.  Default: the lane-scan path (bench-validated on
+    chip this round).  OWSHEN_PROVER_SORTED_MSM=1 routes through the
+    chunk-scan sorted engine at c=8 instead — CPU-mesh validated (prove +
+    tamper + distributed bit-exactness) and expected to cut the warm prove
+    (the lane-scan spends its time in 2^c-step weighted-sum scans), but
+    its TPU compile/runtime balance is unmeasured, so it ships opt-in."""
     curve = bn254.G1 if group == "g1" else bn254.G2
+    use_sorted = os.environ.get("OWSHEN_PROVER_SORTED_MSM") == "1"
 
     def call(p, sc):
         with _prover_pallas_ctx():
+            if use_sorted:
+                from ..ops.msm import msm_sorted
+
+                return msm_sorted(curve, p, sc, c=8)
             return msm(curve, p, sc, c=c, lanes=lanes)
 
     return jax.jit(call)

@@ -265,8 +265,11 @@ def _prefix_chunk_scan(curve, rows_pt, Q, C):
     totals, P = jax.lax.scan(step, ident_c, seq)      # (C, ...), (Q, C, ...)
 
     # exclusive prefix over the C chunk totals, two-level so the inner adds
-    # stay one fixed width: C = G*R groups
-    R = min(128, C)
+    # stay one fixed width: C = G*R groups, R ~ sqrt(C) so neither scan is
+    # long.  Identical to R=128 at the 2^22 config (C=16K); for small C
+    # (the opt-in prover regime) it avoids a 128-step single-width scan.
+    logc = C.bit_length() - 1
+    R = min(128, 1 << ((logc + 1) // 2))
     G = C // R
     tot_g = tuple(a.reshape((G, R) + a.shape[1:]) for a in totals)
     tot_gt = tuple(jnp.moveaxis(a, 1, 0) for a in tot_g)  # (R, G, ...)

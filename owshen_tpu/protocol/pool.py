@@ -25,6 +25,7 @@ import os
 from dataclasses import dataclass, field
 
 from ..circuits import pool as circuits
+from ..runtime.metrics import metrics
 from ..fields.field import FR
 from ..groth16 import groth16
 from ..ops.keccak import keccak256_int
@@ -115,7 +116,10 @@ class PrivacyPool:
         if idxs and idxs[-1] >= (1 << self.depth):
             raise PoolError("pool full")
         # TPU batch insert: one scatter + depth re-hash levels
-        self.tree.insert_ints(idxs, commitments)
+        with metrics.timer("pool.deposit_insert"):
+            self.tree.insert_ints(idxs, commitments)
+        metrics.inc("pool.deposits", len(commitments))
+        metrics.gauge("pool.next_index", self.next_index + len(commitments))
         self.next_index += len(commitments)
         self.deposited.update(l1_tx_hashes)
         self.minted.update(mint_ids)
@@ -136,9 +140,13 @@ class PrivacyPool:
         if nullifier in self.nullifiers:
             # burn_tx.rs:15-18 / Owshen.sol:68 isExecuted[id]
             raise PoolError("nullifier already spent")
-        if not groth16.verify(self.vk, [root, nullifier, recipient, amount],
-                              proof):
+        with metrics.timer("pool.withdraw_verify"):
+            ok = groth16.verify(self.vk, [root, nullifier, recipient, amount],
+                                proof)
+        if not ok:
+            metrics.inc("pool.rejected_proofs")
             raise PoolError("invalid proof")
+        metrics.inc("pool.withdrawals")
         self.nullifiers.add(nullifier)
         binding = keccak256_int(
             recipient.to_bytes(32, "big") + amount.to_bytes(32, "big")
@@ -219,6 +227,8 @@ class PrivacyPool:
         b = circuits.withdraw_circuit(self.depth, w, root=root,
                                       recipient=recipient)
         assert b.check(), "witness does not satisfy the circuit"
-        proof = groth16.prove(self.pk, b, msm_c=msm_c, msm_lanes=msm_lanes)
+        with metrics.timer("pool.prove_withdraw"):
+            proof = groth16.prove(self.pk, b, msm_c=msm_c,
+                                  msm_lanes=msm_lanes)
         nullifier = circuits.nullifier_of(secret, index)
         return proof, root, nullifier

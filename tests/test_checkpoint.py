@@ -129,3 +129,47 @@ def test_pool_checkpoint_resume(tmp_path, small_pool):
         secret, salt, amount, idx, recipient=0xCAFE, msm_lanes=64)
     v = pool2.withdraw(proof, root, nullifier, recipient=0xCAFE, amount=amount)
     assert v.nullifier == nullifier
+
+
+def test_metrics_registry():
+    """Metrics/observability (SURVEY §5): counters, gauges, timers, and the
+    structured JSON event log all round-trip."""
+    import json as _json
+    import time as _time
+
+    from owshen_tpu.runtime.metrics import MetricsRegistry
+
+    m = MetricsRegistry()
+    m.inc("a")
+    m.inc("a", 2)
+    m.gauge("g", 7.5)
+    with m.timer("t"):
+        _time.sleep(0.01)
+    try:
+        with m.timer("t"):
+            raise RuntimeError("x")  # failure latencies still record
+    except RuntimeError:
+        pass
+    snap = m.dump()
+    assert snap["counters"]["a"] == 3
+    assert snap["gauges"]["g"] == 7.5
+    assert snap["timers"]["t"]["count"] == 2
+    assert snap["timers"]["t"]["min_s"] > 0
+    assert snap["timers"]["t"]["mean_s"] >= snap["timers"]["t"]["min_s"]
+
+
+def test_pool_metrics_flow(tmp_path, small_pool):
+    """The pool hot paths feed the registry (deposit counter moves)."""
+    from owshen_tpu.circuits import pool as circuits
+    from owshen_tpu.runtime.metrics import metrics
+
+    before = metrics.dump()["counters"].get("pool.deposits", 0)
+    com = circuits.commitment_of(9, 9, 9)
+    small_pool.deposit([com], [0x9999_0001])
+    after = metrics.dump()["counters"].get("pool.deposits", 0)
+    assert after == before + 1
+    metrics.emit(str(tmp_path / "events.jsonl"))
+    import json
+
+    line = json.loads(open(tmp_path / "events.jsonl").read().splitlines()[-1])
+    assert "counters" in line and "t" in line
