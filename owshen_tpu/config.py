@@ -20,6 +20,8 @@ Environment overrides (all optional):
     OWSHEN_MSM_GATHER_PAD=<int>  gather row padding in u32 lanes (default 128)
     OWSHEN_MSM_PALLAS_MIN=<int>  min batch width routed to Pallas inside
                                msm_sorted (default 8192)
+    OWSHEN_MSM_CHUNK_C=<int>   chunk width C of the prefix scan (default
+                               16384; wider = fewer, wider sequential steps)
     OWSHEN_HASH_BLOCK=<int>    Poseidon/MiMC Pallas lane-block (default 512)
     OWSHEN_NTT_PALLAS_MIN_LOGN=<int>  smallest log_n routed to the Pallas
                                NTT (default 14; below it the Bailey split's
@@ -47,6 +49,7 @@ class Settings:
     msm_window_bits: int
     msm_gather_pad: int
     msm_pallas_min: int
+    msm_chunk_c: int
     hash_block: int
     ntt_pallas_min_logn: int
     chain_id: int
@@ -60,6 +63,7 @@ def settings() -> Settings:
         msm_window_bits=_int_env("OWSHEN_MSM_C", 16),
         msm_gather_pad=_int_env("OWSHEN_MSM_GATHER_PAD", 128),
         msm_pallas_min=_int_env("OWSHEN_MSM_PALLAS_MIN", 1 << 13),
+        msm_chunk_c=_int_env("OWSHEN_MSM_CHUNK_C", 1 << 14),
         hash_block=_int_env("OWSHEN_HASH_BLOCK", 512),
         ntt_pallas_min_logn=_int_env("OWSHEN_NTT_PALLAS_MIN_LOGN", 14),
         chain_id=_int_env("OWSHEN_CHAIN_ID", 918273),

@@ -334,7 +334,7 @@ def msm_sorted(curve, points, scalars, c: int | None = None,
     n = n2
     m = 1 << (c - 1)
     # chunk geometry: C as wide as possible (VPU width), Q sequential steps
-    C = min(1 << 14, max(n // 4, 1))
+    C = min(cfg.msm_chunk_c, max(n // 4, 1))
     Q = n // C
     mag, sgn = _signed_digits(scalars, c)
     rows, widths, shapes = _flat_rows(points)
