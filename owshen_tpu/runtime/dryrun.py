@@ -93,6 +93,11 @@ def run_subprocess(n_devices: int) -> None:
     env.pop("PALLAS_AXON_POOL_IPS", None)  # disable TPU sitecustomize hook
     env["JAX_PLATFORMS"] = "cpu"
     env["JAX_PLATFORM_NAME"] = "cpu"
+    # persistent CPU compile cache: cold compiles of the distributed prove
+    # otherwise cost the driver's whole dryrun budget
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
     flags = env.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         env["XLA_FLAGS"] = (
