@@ -13,8 +13,17 @@ curve here means the decomposition adds no superlinear collective cost.
 
 Run:  OWSHEN_TPU_TESTENV=1 PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
       XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-      python bench_scaling.py
+      python bench_scaling.py [--big]
 Writes bench_scaling.json; not part of the driver bench budget.
+
+--big runs REPRESENTATIVE shapes (VERDICT r3 #7): NTT 2^20 and MSM 2^21
+(2^18 points/device at d=8), where per-shard compute amortizes the
+per-window fixed costs that dominated the toy-size run (the d=8 MSM
+"2.48x overhead" was 64 points/shard paying 16 windows of scan machinery
+each).  Each entry also reports the op's analytic collective volume —
+exact, since the decomposition fixes it: DistNtt all_to_all moves the full
+n·L·4 B coefficient array once per transform; msm_dist all_gathers d
+projective points (3·L·4 B each).  Writes bench_scaling_big.json.
 """
 
 from __future__ import annotations
@@ -57,6 +66,56 @@ def main():
             jax.block_until_ready(fn(*args))
             ts.append(time.perf_counter() - t0)
         return min(ts)
+
+    if "--big" in sys.argv:
+        L = FR.L
+        big = {}
+        # --- NTT 2^20: all_to_all volume = n·L·4 B per transform ---
+        log_n = 20
+        n = 1 << log_n
+        x_small = ints_to_array(
+            [int(v) for v in rng.randint(0, 1 << 62, 1 << 12)])
+        xs20 = jnp.tile(jnp.asarray(x_small), (1 << 8, 1))
+        for d in (1, 2, 8):
+            dn = DistNtt(make_mesh(d), log_n)
+            t = timed(dn.ntt, xs20, iters=2)
+            big[f"ntt_2^20_d{d}"] = {
+                "s": t, "collective_bytes": n * L * 4,
+                "per_device_rows": n // d}
+            print(f"ntt 2^20 d={d}: {t*1e3:.0f} ms", flush=True)
+        # --- MSM 2^21 (2^18/device at d=8): all_gather d·3·L·4 B ---
+        log_m = 21
+        m = 1 << log_m
+        base = bn254.g1_encode(
+            [ocurve.G1.mul(ocurve.G1_GEN, k + 1) for k in range(1 << 9)])
+        pts21 = tuple(
+            jnp.tile(a, (m >> 9, 1) if a.ndim == 2 else (m >> 9,))
+            for a in base)
+        sc_small = np.asarray(ints_to_array(
+            [int(v) for v in rng.randint(1, 1 << 62, 1 << 12)]))
+        sc21 = jnp.asarray(np.tile(sc_small, (m >> 12, 1)))
+        for d in (1, 8):
+            mesh = make_mesh(d)
+            t = timed(lambda p, s: msm_dist(mesh, bn254.G1, p, s),
+                      pts21, sc21, iters=2)
+            big[f"msm_2^21_d{d}"] = {
+                "s": t, "collective_bytes": d * 3 * L * 4,
+                "per_device_points": m // d}
+            print(f"msm 2^21 d={d}: {t:.2f} s", flush=True)
+        for op, key in (("ntt_2^20", "ntt_2^20"), ("msm_2^21", "msm_2^21")):
+            t1 = big[f"{key}_d1"]["s"]
+            for d in (2, 8):
+                if f"{key}_d{d}" in big:
+                    big[f"{key}_d{d}"]["overhead_vs_d1"] = (
+                        big[f"{key}_d{d}"]["s"] / t1)
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_scaling_big.json"), "w") as fh:
+            json.dump(big, fh, indent=1)
+        print(json.dumps({"metric": "mesh_overhead_ratio_d8_msm_2^21",
+                          "value": round(big["msm_2^21_d8"]["overhead_vs_d1"],
+                                         3),
+                          "unit": "x_vs_d1"}), flush=True)
+        return
 
     log_n = 12
     xs = ints_to_array([int(v) for v in rng.randint(0, 1 << 62, 1 << log_n)])

@@ -16,10 +16,13 @@ Environment overrides (all optional):
     OWSHEN_PROVER_PALLAS=1     allow Pallas kernels inside Groth16
                                setup/prove (off by default: at circuit-sized
                                batches Mosaic compile costs dominate)
+    OWSHEN_PROVER_ENGINE=<str> single-chip Groth16 prover MSM engine:
+                               "fixed" (default; precomputed-table
+                               gather+fold), "sorted", or "lane"
     OWSHEN_MSM_C=<int>         msm_sorted window bits (default 16)
     OWSHEN_MSM_GATHER_PAD=<int>  gather row padding in u32 lanes (default 128)
     OWSHEN_MSM_PALLAS_MIN=<int>  min batch width routed to Pallas inside
-                               msm_sorted (default 8192)
+                               msm_sorted's chunk scans (default 128)
     OWSHEN_MSM_CHUNK_C=<int>   chunk width C of the prefix scan (default
                                16384; wider = fewer, wider sequential steps)
     OWSHEN_HASH_BLOCK=<int>    Poseidon/MiMC Pallas lane-block (default 512)
@@ -46,6 +49,7 @@ def _int_env(name: str, default: int) -> int:
 class Settings:
     no_pallas: bool
     prover_pallas: bool
+    prover_engine: str
     msm_window_bits: int
     msm_gather_pad: int
     msm_pallas_min: int
@@ -60,9 +64,10 @@ def settings() -> Settings:
     return Settings(
         no_pallas=os.environ.get("OWSHEN_NO_PALLAS") == "1",
         prover_pallas=os.environ.get("OWSHEN_PROVER_PALLAS") == "1",
+        prover_engine=os.environ.get("OWSHEN_PROVER_ENGINE", "fixed"),
         msm_window_bits=_int_env("OWSHEN_MSM_C", 16),
         msm_gather_pad=_int_env("OWSHEN_MSM_GATHER_PAD", 128),
-        msm_pallas_min=_int_env("OWSHEN_MSM_PALLAS_MIN", 1 << 13),
+        msm_pallas_min=_int_env("OWSHEN_MSM_PALLAS_MIN", 128),
         msm_chunk_c=_int_env("OWSHEN_MSM_CHUNK_C", 1 << 14),
         hash_block=_int_env("OWSHEN_HASH_BLOCK", 512),
         ntt_pallas_min_logn=_int_env("OWSHEN_NTT_PALLAS_MIN_LOGN", 14),

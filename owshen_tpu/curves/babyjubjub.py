@@ -231,6 +231,58 @@ def poseidon_hash5(elems):
     return poseidon(list(elems))
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _sign_device_jit(hash_mode: str):
+    """Device half of batched EdDSA sign: r = H(rand, M); R = r·B (windowed
+    fixed-base); h = H(R.x, R.y, A.x, A.y, M) with A = a·B.  Everything is
+    batched fixed-base multi-exp + fused Poseidon; only the ORDER-modular
+    fold s = r + h·a stays on host (the reference reduces s through BigUint
+    for the same reason, mod.rs:228-233 — ORDER ≠ p, and the TPU field
+    stack is mod-p)."""
+    from .fixed_base import jub_fixed_base
+
+    h_fn = poseidon_hash5 if hash_mode == "poseidon" else placeholder_hash
+
+    def f(rand_m, msg_m, a_can):
+        r = h_fn([rand_m, msg_m])
+        r_can = F.from_mont(r)
+        fb = jub_fixed_base()
+        Rx, Ry = to_affine(fb.mul(r_can))
+        Ax, Ay = to_affine(fb.mul(a_can))
+        h = h_fn([Rx, Ry, Ax, Ay, msg_m])
+        return (F.from_mont(Rx), F.from_mont(Ry), r_can, F.from_mont(h))
+
+    return jax.jit(f)
+
+
+def eddsa_sign_batch(priv, randomness, messages, hash_mode="poseidon"):
+    """Batched EdDSA sign with the reference's exact semantics
+    (mod.rs:210-236): returns [(R=(x, y), s)] per input.
+
+    priv/randomness/messages: equal-length lists of host ints (priv < 2^254,
+    as all reduced scalars are).  The sequencer voucher path signs batches
+    through this instead of one-at-a-time host signing (the r·B and a·B
+    fixed-base muls and both Poseidon challenge hashes are TPU-shaped work
+    the framework already has kernels for)."""
+    from ..fields.field import array_to_ints, ints_to_array
+
+    assert len(priv) == len(randomness) == len(messages)
+    p = F.p
+    rand_m = jnp.asarray(F.encode([x % p for x in randomness]))
+    msg_m = jnp.asarray(F.encode([m % p for m in messages]))
+    a_can = jnp.asarray(ints_to_array(list(priv)))
+    Rx, Ry, r_can, h_can = _sign_device_jit(hash_mode)(rand_m, msg_m, a_can)
+    rx = F.decode(Rx, mont=False)
+    ry = F.decode(Ry, mont=False)
+    rs = array_to_ints(np.asarray(r_can))
+    hs = array_to_ints(np.asarray(h_can))
+    return [((x, y), (r + h * a) % ORDER)
+            for x, y, r, h, a in zip(rx, ry, rs, hs, priv)]
+
+
 def eddsa_verify(pk_affine, msg, sig_r_affine, sig_s_canonical, hash_mode="poseidon"):
     """Batched verify: s·B == R + H(R, A, M)·A (reference mod.rs:99-115).
 

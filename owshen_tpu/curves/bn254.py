@@ -93,6 +93,33 @@ def g1_decode(p):
     return [None if z else (x, y) for x, y, z in zip(xi, yi, zs_zero)]
 
 
+def g1_decode_host(p):
+    """Single projective device point -> (x, y) ints or None, with the
+    Z-inversion done on host (`pow(z, -1, q)` is microseconds in Python vs
+    a 254-step exponentiation chain of tiny device ops through the tunnel —
+    the prover's three proof-element decodes use this)."""
+    leaves = tuple(a[None] if a.ndim == 1 else a for a in p)
+    x = FQ.decode(leaves[0])[0]
+    y = FQ.decode(leaves[1])[0]
+    z = FQ.decode(leaves[2])[0]
+    if z == 0:
+        return None
+    zi = pow(z, -1, Q)
+    return (x * zi % Q, y * zi % Q)
+
+
+def g2_decode_host(p):
+    """Single projective G2 device point -> ((x0,x1), (y0,y1)) or None."""
+    leaves = tuple(a[None] if a.ndim == 2 else a for a in p)
+    x = FQ2.decode(leaves[0])[0]
+    y = FQ2.decode(leaves[1])[0]
+    z = FQ2.decode(leaves[2])[0]
+    if z == (0, 0):
+        return None
+    zi = _fq2_inv(z)
+    return (_fq2_mul(x, zi), _fq2_mul(y, zi))
+
+
 def g2_encode(points):
     xs, ys, zs = [], [], []
     for pt in points:

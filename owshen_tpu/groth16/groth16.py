@@ -298,14 +298,128 @@ def _h_scalars_dist(mesh, dom: NttDomain, w_mont, mats):
     return FR.from_mont(h_c)
 
 
+class _FixedTables:
+    """Per-ProvingKey precomputed fixed-point MSM tables (ops/msm_fixed).
+
+    Built lazily at first prove and cached on the pk object (NOT serialized
+    by checkpoints — they are derived data, ~1 GB at the 8K-point circuit
+    sizes).  All four big point sets share one padded size, so the compute
+    fn compiles ONCE per circuit size."""
+
+    def __init__(self, pk: "ProvingKey"):
+        from ..ops.msm_fixed import FixedMsm
+
+        n_min = max(pk.a_g1[0].shape[0], pk.h_g1[0].shape[0],
+                    pk.k_g1[0].shape[0] if pk.k_g1 is not None else 1)
+        self.n = 1 << (n_min - 1).bit_length()
+        self.a = FixedMsm(bn254.G1, pk.a_g1, n_min=self.n)
+        _stage_log(f"a-table built (n={self.n})")
+        self.b1 = FixedMsm(bn254.G1, pk.b_g1, n_min=self.n)
+        self.b2 = FixedMsm(bn254.G2, pk.b_g2, n_min=self.n)
+        _stage_log("b2-table built (G2)")
+        self.k = (FixedMsm(bn254.G1, pk.k_g1, n_min=self.n)
+                  if pk.k_g1 is not None else None)
+        self.h = FixedMsm(bn254.G1, pk.h_g1, n_min=self.n)
+        _stage_log("k/h tables built")
+        # tail tables: [α, β, δ]₁ (padded to 4) and [β, δ]₂ — per-proof
+        # randomizer terms become two tiny same-shape MSM calls instead of
+        # six 254-step double-and-add ladders
+        tail1 = tuple(jnp.concatenate([a, b, d])
+                      for a, b, d in zip(pk.alpha_g1, pk.beta_g1, pk.delta_g1))
+        self.tail1 = FixedMsm(bn254.G1, tail1)
+        tail2 = tuple(jnp.concatenate([b, d])
+                      for b, d in zip(pk.beta_g2, pk.delta_g2))
+        self.tail2 = FixedMsm(bn254.G2, tail2)
+
+
+def _fixed_tables(pk: ProvingKey) -> _FixedTables:
+    fx = getattr(pk, "_fixed", None)
+    if fx is None:
+        fx = _FixedTables(pk)
+        object.__setattr__(pk, "_fixed", fx)
+    return fx
+
+
+@functools.lru_cache(maxsize=None)
+def _combine_jit():
+    """One dispatch for the nine single-point adds assembling A/B₂/C."""
+
+    def combine(a_w, tail_a, b2_w, tail_b2, a_sw, b1_rw, k_w, h_h, tail_c):
+        A = bn254.G1.add(a_w, tail_a)
+        B2 = bn254.G2.add(b2_w, tail_b2)
+        C = bn254.G1.add(a_sw, b1_rw)
+        C = bn254.G1.add(C, k_w)
+        C = bn254.G1.add(C, h_h)
+        C = bn254.G1.add(C, tail_c)
+        return A, B2, C
+
+    return jax.jit(combine)
+
+
+def _stage_log(msg: str) -> None:
+    """Per-stage progress (stderr) gated by OWSHEN_PROVE_LOG=1 — compile
+    through the axon tunnel costs minutes per jit, and a budget kill
+    mid-compile must leave a diagnostic tail."""
+    if os.environ.get("OWSHEN_PROVE_LOG") == "1":
+        import sys
+        import time
+
+        print(f"    [prove t={time.time():.0f}] {msg}", file=sys.stderr,
+              flush=True)
+
+
+def _prove_fixed(pk: ProvingKey, builder: Builder, w, r: int, s: int,
+                 h_sc) -> Proof:
+    """Single-chip prover over precomputed tables: zero long scans.
+
+    Uses  s·A = s·α + MSM_a(s·w) + s·r·δ  and  r·B₁ = r·β + MSM_b1(r·w)
+    + r·s·δ  so C needs no variable-point scalar multiplication at all:
+      C = MSM_h(h) + MSM_k(w_priv) + MSM_a(s·w) + MSM_b1(r·w)
+          + (s·α + r·β + r·s·δ)."""
+    fx = _fixed_tables(pk)
+    _stage_log("tables ready")
+    w_sc = jnp.asarray(ints_to_array(w))
+    sw = jnp.asarray(ints_to_array([(s * wi) % P for wi in w]))
+    rw = jnp.asarray(ints_to_array([(r * wi) % P for wi in w]))
+    a_w = fx.a.mul(w_sc)
+    a_sw = fx.a.mul(sw)
+    b1_rw = fx.b1.mul(rw)
+    _stage_log("g1 msms dispatched")
+    b2_w = fx.b2.mul(w_sc)
+    _stage_log("g2 msm dispatched")
+    if fx.k is not None:
+        k_w = fx.k.mul(w_sc[pk.n_pub:])
+    else:
+        k_w = bn254.G1.identity_like(a_w[0])
+    h_h = fx.h.mul(h_sc)
+    tail_a = fx.tail1.mul(jnp.asarray(ints_to_array([1, 0, r % P, 0])))
+    tail_c = fx.tail1.mul(jnp.asarray(
+        ints_to_array([s % P, r % P, (r * s) % P, 0])))
+    tail_b2 = fx.tail2.mul(jnp.asarray(ints_to_array([1, s % P])))
+    _stage_log("tails dispatched")
+    A, B2, C = _combine_jit()(a_w, tail_a, b2_w, tail_b2, a_sw, b1_rw,
+                              k_w, h_h, tail_c)
+    a_aff = bn254.g1_decode_host(A)
+    b_aff = bn254.g2_decode_host(B2)
+    c_aff = bn254.g1_decode_host(C)
+    _stage_log("decoded")
+    return Proof(a=a_aff, b=b_aff, c=c_aff)
+
+
 def prove(pk: ProvingKey, builder: Builder, seed: bytes | None = None,
-          msm_c: int = 8, msm_lanes: int = 1024, mesh=None) -> Proof:
+          msm_c: int = 8, msm_lanes: int = 1024, mesh=None,
+          engine: str | None = None) -> Proof:
     """Generate a proof from a fully-assigned builder.
 
     The Groth16 randomizers (r, s) default to fresh `os.urandom` entropy —
     zero-knowledge collapses if (r, s) are predictable, since a simulator
     (or any observer) who knows them can relate proofs of the same witness.
     Pass an explicit `seed` ONLY for reproducible tests.
+
+    engine: single-chip MSM engine — "fixed" (default; precomputed-table
+    gather+fold, ops/msm_fixed.py), "lane" (scan-based Pippenger), or
+    "sorted" (chunk-scan sorted engine); resolved from
+    OWSHEN_PROVER_ENGINE when None.  The mesh path always uses msm_dist.
 
     mesh: optional jax.sharding.Mesh — the multi-chip prover (BASELINE
     config 5, "v5p multi-host"): the three G1 MSMs + the G2 MSM shard
@@ -328,13 +442,21 @@ def prove(pk: ProvingKey, builder: Builder, seed: bytes | None = None,
     else:
         h_sc = _h_scalars_dist(mesh, dom, w_mont, mats_dev)[: n - 1]
 
+    if mesh is None:
+        if engine is None:
+            from ..config import settings
+
+            engine = settings().prover_engine
+        if engine == "fixed":
+            return _prove_fixed(pk, builder, w, r, s, h_sc)
+
     w_sc = ints_to_array(w)
     if mesh is None:
         # pad every MSM to a power-of-two batch so the deposit circuit's
         # three G1 MSMs (m, m-n_pub, n-1 points) share ONE compiled shape
         # (each distinct shape is a fresh ~25 s TPU compile, no cache)
         def _padded(group, curve):
-            inner = _msm_jit(group, msm_c, msm_lanes)
+            inner = _msm_jit(group, msm_c, msm_lanes, engine)
 
             def call(pts, sc):
                 n_in = sc.shape[0]
@@ -398,15 +520,15 @@ def prove(pk: ProvingKey, builder: Builder, seed: bytes | None = None,
 
 
 @functools.lru_cache(maxsize=None)
-def _msm_jit(group: str, c: int, lanes: int):
-    """Prover MSM engine.  Default: the lane-scan path (bench-validated on
-    chip this round).  OWSHEN_PROVER_SORTED_MSM=1 routes through the
-    chunk-scan sorted engine at c=8 instead — CPU-mesh validated (prove +
-    tamper + distributed bit-exactness) and expected to cut the warm prove
-    (the lane-scan spends its time in 2^c-step weighted-sum scans), but
-    its TPU compile/runtime balance is unmeasured, so it ships opt-in."""
+def _msm_jit(group: str, c: int, lanes: int, engine: str = "lane"):
+    """Non-default prover MSM engines, kept for comparison/fallback:
+    "lane" = scan-based Pippenger, "sorted" = the chunk-scan sorted engine
+    at c=8 (both superseded as prover defaults by the fixed-table engine —
+    the round-3 driver artifact measured the lane path's 2^c-step
+    weighted-sum scans at 79.6 s on the 265-constraint deposit prove)."""
     curve = bn254.G1 if group == "g1" else bn254.G2
-    use_sorted = os.environ.get("OWSHEN_PROVER_SORTED_MSM") == "1"
+    use_sorted = (engine == "sorted"
+                  or os.environ.get("OWSHEN_PROVER_SORTED_MSM") == "1")
 
     def call(p, sc):
         with _prover_pallas_ctx():

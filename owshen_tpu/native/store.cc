@@ -6,12 +6,20 @@
 // Design (deliberately simpler than LevelDB, same contract the reference
 // actually uses):
 //   * One append-only log file.  Records: [u32 klen][u32 vlen][u32 crc]
-//     [key bytes][val bytes].  vlen==0xFFFFFFFF is a tombstone.
+//     [key bytes][val bytes].  vlen==0xFFFFFFFF is a tombstone.  klen==0
+//     is REJECTED at the API (put/delete return -1): an empty-key record
+//     would be framed identically to a COMMIT marker, and replay would
+//     mis-parse it and truncate away later committed batches (round-3
+//     advisor finding).  Python wrappers enforce the same rule.
 //   * A batch is a run of records terminated by a COMMIT marker (klen==0,
 //     vlen==0, crc over the batch's record count).  On open, a trailing
 //     run without its COMMIT marker is discarded — this is the atomic
 //     Writebatch semantics Owshenchain::atomic relies on
 //     (src/blockchain/mod.rs:90-99 -> DiskKvStore::batch_put_raw).
+//   * close() DISCARDS uncommitted records (truncates back to the last
+//     commit marker) — the same discard-on-close contract as the Python
+//     engine, so forgetting commit() behaves identically under both.
+//     compact() refuses (-1) while a batch is pending for the same reason.
 //   * The full index (key -> offset,len) lives in memory, rebuilt by a
 //     sequential scan on open; torn tails (bad crc / short read) truncate.
 //   * compact() rewrites the live set into a fresh log and atomically
@@ -157,12 +165,14 @@ void* owshen_store_open(const char* path) {
 int owshen_store_put(void* h, const uint8_t* k, uint32_t klen,
                      const uint8_t* v, uint32_t vlen) {
   Store* s = (Store*)h;
+  if (klen == 0) return -1;  // would alias the COMMIT marker framing
   if (vlen == kTombstone) return -1;
   return s->append_record(k, klen, v, vlen) ? 0 : -1;
 }
 
 int owshen_store_delete(void* h, const uint8_t* k, uint32_t klen) {
   Store* s = (Store*)h;
+  if (klen == 0) return -1;  // would alias the COMMIT marker framing
   return s->append_record(k, klen, nullptr, kTombstone) ? 0 : -1;
 }
 
@@ -203,6 +213,7 @@ int64_t owshen_store_key_at(void* h, uint64_t i, uint8_t* out, uint64_t cap) {
 
 int owshen_store_compact(void* h) {
   Store* s = (Store*)h;
+  if (s->dirty) return -1;  // pending batch: commit or close-discard first
   std::string tmp = s->path + ".compact";
   FILE* nf = std::fopen(tmp.c_str(), "w+b");
   if (!nf) return -1;
@@ -236,8 +247,15 @@ int owshen_store_compact(void* h) {
 
 void owshen_store_close(void* h) {
   Store* s = (Store*)h;
-  if (s->dirty) s->commit();
-  if (s->f) std::fclose(s->f);
+  if (s->f) {
+    if (s->dirty) {
+      // discard-on-close: truncate the uncommitted tail so reopen replays
+      // exactly the committed state (same contract as PyKvStore.close)
+      std::fflush(s->f);
+      (void)!truncate(s->path.c_str(), (off_t)s->committed_size);
+    }
+    std::fclose(s->f);
+  }
   delete s;
 }
 

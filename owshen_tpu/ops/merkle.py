@@ -195,6 +195,34 @@ class SparseMerkleTree:
         idx = jnp.asarray(indices, jnp.int32) + (1 << self.depth)
         return jnp.take(self.nodes, idx, axis=0)
 
+    # ---------- inverse-delta support (reorg/rollback) ----------
+    #
+    # The reference persists an inverse delta on every push_block and
+    # replays it on pop_block (src/blockchain/mod.rs:284-315; delta
+    # computation src/db/mirror.rs:19-38).  The SMT analogue: a batch
+    # insert touches exactly the k dirty leaves plus their ancestors, so
+    # capturing those heap rows BEFORE the insert is a complete undo
+    # record (one device gather; restore is one scatter).
+
+    def touched_rows(self, indices) -> np.ndarray:
+        """Heap rows (deduped, host int32) a batch insert at `indices`
+        modifies: the leaves and every ancestor up to the root."""
+        j = np.unique(np.asarray(indices, np.int64)) + (1 << self.depth)
+        out = []
+        for _ in range(self.depth + 1):
+            out.append(j)
+            j = np.unique(j >> 1)
+        return np.unique(np.concatenate(out)).astype(np.int32)
+
+    def snapshot_rows(self, rows):
+        """Prior values of the given heap rows (device gather)."""
+        return jnp.take(self.nodes, jnp.asarray(rows, jnp.int32), axis=0)
+
+    def restore_rows(self, rows, values):
+        """Scatter prior values back — the pop_block replay."""
+        self.nodes = self.nodes.at[jnp.asarray(rows, jnp.int32)].set(
+            jnp.asarray(values))
+
 
 # ---------------------------------------------------------------------------
 # Host oracle (bit-exactness gate)

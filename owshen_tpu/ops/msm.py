@@ -393,7 +393,7 @@ def msm_sorted(curve, points, scalars, c: int | None = None,
 
     from ..curves.weierstrass import pallas_min_rows
 
-    with pallas_min_rows(1 << 7):
+    with pallas_min_rows(cfg.msm_pallas_min):
         acc, _ = jax.lax.scan(window_body, ident1, (mag[::-1], sgn[::-1]))
     return acc
 
@@ -411,11 +411,21 @@ def msm(curve, points, scalars, c: int = 8, n_bits: int = 256,
     count (256/c passes over the points) against bucket-combine work
     (lanes · 2^c adds).
 
-    Large batches (n ≥ 2^17) route to the window-serial sorted engine
-    (msm_sorted) — HBM-safe at 2^22 and gather-light."""
+    PRECONDITION at n ≥ 2^17: scalars must be canonical (< 2^254 + slack,
+    as all reduced BN254 Fr scalars are) — large batches route to the
+    window-serial sorted engine (msm_sorted), whose signed-digit recoding
+    drops the final carry out of the top window; a general 256-bit scalar
+    ≥ ~2^255 would be silently mis-summed there.  The precondition is
+    checked concretely whenever values are available (eager calls); under
+    jit tracing the caller owns it."""
     assert c in (2, 4, 8, 16)
     n = scalars.shape[0]
     if n >= (1 << 17) and hasattr(curve, "neg") and scalars.shape[-1] == 16:
+        if not isinstance(scalars, jax.core.Tracer):
+            top = int(np.asarray(scalars[..., 15]).max(initial=0))
+            assert top < (1 << 15), (
+                "msm at n>=2^17 requires canonical scalars (<2^254+slack); "
+                f"top limb {top:#x} overflows the sorted engine's top window")
         return msm_sorted(curve, points, scalars)
     lanes = max(1, min(lanes, n))
     rows = (n + lanes - 1) // lanes

@@ -73,10 +73,66 @@ class NttDomain:
     def pows_inv(self):
         return powers_device(self.F, self.omega_inv, max(self.n // 2, 1))
 
+    @functools.cached_property
+    def _stage_tables(self):
+        """Per-stage butterfly index tables (log_n, n/2) int32: positions
+        of the a/b operands and the twiddle index j·(n/m) into `pows` —
+        the inputs that make every DIT stage shape-uniform so the stage
+        loop can run as ONE lax.scan (see _transform_scan)."""
+        n, log_n = self.n, self.log_n
+        ia = np.zeros((log_n, n // 2), np.int32)
+        ib = np.zeros((log_n, n // 2), np.int32)
+        itw = np.zeros((log_n, n // 2), np.int32)
+        for s in range(1, log_n + 1):
+            m = 1 << s
+            half = m // 2
+            g = (np.arange(n // m, dtype=np.int32) * m)[:, None]
+            j = np.arange(half, dtype=np.int32)[None, :]
+            ia[s - 1] = (g + j).reshape(-1)
+            ib[s - 1] = (g + j + half).reshape(-1)
+            itw[s - 1] = np.broadcast_to(j * (n // m), (n // m, half)
+                                         ).reshape(-1)
+        # cache HOST arrays: a jnp.asarray here would capture the enclosing
+        # trace when first touched inside shard_map/jit and the cached
+        # tracer poisons every later trace (the round-3 powers_device
+        # UnexpectedTracerError, same mechanism)
+        return ia, ib, itw
+
+    def _transform_scan(self, x, pows):
+        """Stage loop as one lax.scan whose body is a single batched
+        butterfly (gather a/b + 1 mul + add/sub + scatter back).  The
+        traced graph holds ONE montgomery-mul subgraph instead of log₂n of
+        them — the unrolled form made every jit that embeds NTTs (the
+        Groth16 h-pipeline embeds six) cost minutes of XLA compile.  Used
+        for circuit-sized domains where the per-stage gather/scatter of
+        n/2 rows is noise; the big bench transform keeps the unrolled
+        reshape form (fewer HBM passes at 2^20)."""
+        F = self.F
+        x = jnp.take(x, self._bitrev, axis=0)
+        ia_all, ib_all, itw_all = self._stage_tables
+        batch_nd = x.ndim - 2
+
+        def body(x, inp):
+            a_idx, b_idx, t_idx = inp
+            a = jnp.take(x, a_idx, axis=0)
+            b = jnp.take(x, b_idx, axis=0)
+            w = jnp.take(pows, t_idx, axis=0)
+            if batch_nd:
+                w = w.reshape((w.shape[0],) + (1,) * batch_nd + (F.L,))
+            t = F.mul(b, w)
+            x = x.at[a_idx].set(F.add(a, t))
+            x = x.at[b_idx].set(F.sub(a, t))
+            return x, None
+
+        x, _ = jax.lax.scan(body, x, (ia_all, ib_all, itw_all))
+        return x
+
     def _transform(self, x, pows):
         """x: uint32[n, ..., L] Montgomery -> NTT along axis 0 (natural
         in/out); trailing axes are batch (vectorized across VPU lanes)."""
         F, n, log_n = self.F, self.n, self.log_n
+        if 2 <= log_n <= 14:
+            return self._transform_scan(x, pows)
         rest = x.shape[1:]
         x = jnp.take(x, self._bitrev, axis=0)
         for s in range(1, log_n + 1):

@@ -83,6 +83,13 @@ def save_pool(pool, path: str):
             "vk": pool.vk,
             "seq_pub": getattr(pool, "seq_pub", None),
             "seq_priv": getattr(pool, "_seq_priv", None),
+            # per-batch inverse deltas so reorg/rollback survives restart
+            # (the reference persists Key::Delta per block,
+            # src/blockchain/mod.rs:284-287)
+            "undo": [
+                {**rec, "prior": np.asarray(rec["prior"])}
+                for rec in getattr(pool, "_undo", [])
+            ],
         }
         store.put(b"pool/host", pickle.dumps(host))
         save_proving_key(store, pool.pk)
@@ -110,4 +117,8 @@ def load_pool(path: str):
         if host.get("seq_pub") is not None:
             pool.seq_pub = host["seq_pub"]
             pool._seq_priv = host["seq_priv"]
+        pool._undo = [
+            {**rec, "prior": jnp.asarray(rec["prior"])}
+            for rec in host.get("undo", [])
+        ]
     return pool

@@ -1,16 +1,29 @@
 """Multi-chip dry-run: compile + execute the distributed proving step on an
 n-device mesh with the real shardings (SURVEY.md §2.4) on tiny shapes.
 
-Run either in-process (when the current jax backend already exposes
-n_devices, e.g. the forced-CPU test mesh) or via a subprocess that strips
-this environment's TPU sitecustomize hook first (in-process backend swaps
-hang once the TPU plugin initialized — see tests/conftest.py)."""
+Budget discipline (the round-3 driver run hit rc=124 at ~10 min wall):
+  * the parent process NEVER initializes jax/the TPU tunnel — the decision
+    to spawn is made from sys.modules/env alone (__graft_entry__.py);
+  * one distributed prove, not setup+2 proves (the single-chip equivalence
+    gate lives in tests/test_dist.py::test_prove_dist);
+  * every stage prints a timestamped line, so a timeout leaves a
+    diagnostic tail instead of an empty artifact;
+  * the subprocess reuses the persistent CPU compile cache
+    (JAX_COMPILATION_CACHE_DIR) so warm driver runs skip XLA compiles.
+"""
 
 from __future__ import annotations
 
 import os
 import subprocess
 import sys
+import time
+
+_T0 = time.time()
+
+
+def _stage(msg: str) -> None:
+    print(f"[dryrun t+{time.time() - _T0:.0f}s] {msg}", flush=True)
 
 
 def run(n_devices: int) -> None:
@@ -33,6 +46,7 @@ def run(n_devices: int) -> None:
         f"need {n_devices} devices, have {len(jax.devices())}")
     mesh = make_mesh(n_devices)
     rng = np.random.RandomState(7)
+    _stage(f"mesh up: {n_devices}x {jax.devices()[0].platform}")
 
     # --- distributed NTT (sequence-parallel analogue, all_to_all) ---
     log_n = 6
@@ -44,6 +58,7 @@ def run(n_devices: int) -> None:
     assert got == want, "DistNtt forward mismatch"
     back = FR.decode(dn.intt(jnp.asarray(FR.encode(got))))
     assert back == [x % FR.p for x in xs], "DistNtt inverse mismatch"
+    _stage("DistNtt fwd/inv OK")
 
     # --- distributed MSM (data-parallel shards + ICI gather-reduce) ---
     n_pts = 2 * n_devices
@@ -54,6 +69,7 @@ def run(n_devices: int) -> None:
                    ints_to_array(scalars), c=4, lanes=2)
     got_pt = bn254.g1_decode(tuple(x[None] for x in acc))[0]
     assert got_pt == ocurve.G1.msm(pts, scalars), "msm_dist mismatch"
+    _stage("msm_dist OK")
 
     # --- distributed Merkle root (subtree partitioning + collective top) ---
     leaves = [int(rng.randint(0, 1 << 31)) for _ in range(8 * n_devices)]
@@ -61,10 +77,13 @@ def run(n_devices: int) -> None:
     want_root = merkle.oracle_sparse_root(
         dict(enumerate(leaves)), (8 * n_devices - 1).bit_length(), "poseidon")
     assert FR.decode(root[None])[0] == want_root, "merkle_root_dist mismatch"
+    _stage("merkle_root_dist OK")
 
-    # --- distributed Groth16 prove (the FULL step: sharded MSMs over the
-    # mesh + all_to_all NTT h-pipeline), bit-exact vs the single-chip
-    # prover under the same seed ---
+    # --- distributed Groth16 prove: sharded MSMs over the mesh +
+    # all_to_all NTT h-pipeline, verified by the host pairing check.  ONE
+    # prove — the bit-exact single-chip equivalence is gated in
+    # tests/test_dist.py::test_prove_dist, and a second prove here cost the
+    # round-3 driver run its budget. ---
     from ..groth16 import groth16
     from ..groth16.r1cs import Builder
 
@@ -76,12 +95,14 @@ def run(n_devices: int) -> None:
         v = b.priv(k + 2)
         b.enforce_eq(b.mul(v, v), b.priv((k + 2) ** 2))
     assert b.check()
+    _stage("dryrun circuit built (33 constraints)")
     pk, vk = groth16.setup(b, seed=b"dryrun")
+    _stage("setup done")
     proof_d = groth16.prove(pk, b, seed=b"dr", msm_c=4, msm_lanes=2,
                             mesh=mesh)
+    _stage("distributed prove done")
     assert groth16.verify(vk, [49], proof_d), "distributed proof rejected"
-    proof_1 = groth16.prove(pk, b, seed=b"dr", msm_c=4, msm_lanes=2)
-    assert proof_d == proof_1, "distributed prove != single-chip prove"
+    _stage("verify OK")
 
     print(f"MULTICHIP OK: ntt/msm/merkle/groth16-prove distributed on "
           f"{n_devices} devices ({jax.devices()[0].platform})")

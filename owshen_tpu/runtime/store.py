@@ -89,11 +89,17 @@ class NativeKvStore:
         self.path = path
 
     def put(self, key: bytes, value: bytes):
+        if not key:
+            # an empty-key record would be framed identically to the log's
+            # COMMIT marker, and replay would truncate later batches
+            raise ValueError("empty keys are not supported")
         if self._lib.owshen_store_put(self._h, key, len(key),
                                       value, len(value)) != 0:
             raise IOError("put failed")
 
     def delete(self, key: bytes):
+        if not key:
+            raise ValueError("empty keys are not supported")
         if self._lib.owshen_store_delete(self._h, key, len(key)) != 0:
             raise IOError("delete failed")
 
@@ -128,10 +134,17 @@ class NativeKvStore:
         return int(self._lib.owshen_store_count(self._h))
 
     def compact(self):
+        """Rewrite the live set into a fresh log.  Refuses while a batch is
+        pending (commit or close-discard first) — compacting would otherwise
+        silently commit writes the caller never committed."""
         if self._lib.owshen_store_compact(self._h) != 0:
-            raise IOError("compact failed")
+            raise IOError("compact failed (pending uncommitted batch?)")
 
     def close(self):
+        """Close, DISCARDING any uncommitted puts/deletes (the Writebatch
+        contract: only commit() makes a batch durable).  Same semantics as
+        PyKvStore.close, so checkpoint code behaves identically whether or
+        not g++ is available (round-3 advisor finding)."""
         if self._h:
             self._lib.owshen_store_close(self._h)
             self._h = None
@@ -160,9 +173,13 @@ class PyKvStore:
                     self._data = pickle.load(fh)
 
     def put(self, key: bytes, value: bytes):
+        if not key:
+            raise ValueError("empty keys are not supported")
         self._pending[key] = value
 
     def delete(self, key: bytes):
+        if not key:
+            raise ValueError("empty keys are not supported")
         self._pending[key] = None
 
     def commit(self):
@@ -197,10 +214,14 @@ class PyKvStore:
         return len(self.keys())
 
     def compact(self):
-        self.commit()
+        """No log to rewrite; refuse while a batch is pending (same
+        contract as the native engine)."""
+        if self._pending:
+            raise IOError("compact failed (pending uncommitted batch?)")
 
     def close(self):
-        pass
+        """Uncommitted puts are discarded (the Writebatch contract)."""
+        self._pending.clear()
 
     def __enter__(self):
         return self

@@ -41,7 +41,8 @@ def test_store_put_get_delete(tmp_path):
 
 
 def test_native_store_atomic_batch(tmp_path):
-    """Uncommitted puts are discarded on reopen (Writebatch semantics)."""
+    """Uncommitted puts are discarded on close; torn tails are discarded on
+    reopen (Writebatch semantics)."""
     if _load_lib() is None:
         pytest.skip("no native toolchain")
     path = str(tmp_path / "atomic.db")
@@ -49,18 +50,22 @@ def test_native_store_atomic_batch(tmp_path):
     st.put(b"committed", b"yes")
     st.commit()
     st.put(b"torn", b"no")
-    # close WITHOUT commit would auto-commit; instead simulate a crash by
-    # dropping the handle path: reopen a second handle on the same file
-    # after only flushing the committed batch.  Emulate the torn tail by
-    # truncating mid-record.
-    st.close()
-    with open(path, "r+b") as fh:
-        fh.seek(0, os.SEEK_END)
-        fh.truncate(fh.tell() - 5)  # tear the last record/marker
+    st.close()  # discard-on-close drops the uncommitted record
     st2 = NativeKvStore(path)
     assert st2.get(b"committed") == b"yes"
     assert st2.get(b"torn") is None
+    # torn tail: a second committed batch whose marker is sheared off
+    # mid-write (crash) must vanish without touching the first batch
+    st2.put(b"second", b"batch")
+    st2.commit()
     st2.close()
+    with open(path, "r+b") as fh:
+        fh.seek(0, os.SEEK_END)
+        fh.truncate(fh.tell() - 5)
+    st3 = NativeKvStore(path)
+    assert st3.get(b"committed") == b"yes"
+    assert st3.get(b"second") is None
+    st3.close()
 
 
 def test_native_store_reopen_and_compact(tmp_path):

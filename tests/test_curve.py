@@ -138,3 +138,37 @@ class TestBabyJubJub:
             hash_mode=mode,
         )
         assert not np.asarray(ok).any()
+
+
+def test_eddsa_sign_batch_vs_oracle():
+    """Batched device sign == host oracle sign, bit for bit (R and s), and
+    the signatures verify through the batched device verifier.  Reference
+    semantics anchor: mod.rs:210-236."""
+    import jax.numpy as jnp
+
+    from owshen_tpu.curves import babyjubjub as jub
+    from owshen_tpu.fields.field import FR, ints_to_array
+    from owshen_tpu.oracle import eddsa as oeddsa
+
+    rng = random.Random(77)
+    n = 4
+    privs = [rng.randrange(1, FR.p) for _ in range(n)]
+    rands = [rng.randrange(FR.p) for _ in range(n)]
+    msgs = [rng.randrange(FR.p) for _ in range(n)]
+    got = jub.eddsa_sign_batch(privs, rands, msgs)
+    for (R, s), a, rnd, m in zip(got, privs, rands, msgs):
+        R_o, s_o = oeddsa.sign(a, rnd, m)
+        assert R == R_o and s == s_o
+        assert oeddsa.verify(oeddsa.to_pub(a), m, R, s)
+    # device batch verify accepts all of them
+    pubs = [oeddsa.to_pub(a) for a in privs]
+    ok = jub.eddsa_verify(
+        (jnp.asarray(FR.encode([p[0] for p in pubs])),
+         jnp.asarray(FR.encode([p[1] for p in pubs]))),
+        jnp.asarray(FR.encode(msgs)),
+        (jnp.asarray(FR.encode([R[0] for R, _ in got])),
+         jnp.asarray(FR.encode([R[1] for R, _ in got]))),
+        jnp.asarray(ints_to_array([s for _, s in got])))
+    import numpy as np
+
+    assert np.asarray(ok).all()

@@ -162,3 +162,58 @@ def test_msm_large_window_split_path():
         lambda p, s: msm(bn254.G1, p, s, c=16, lanes=4)
     )(bn254.g1_encode(pts), ints_to_array(scalars))))[0]
     assert got == ocurve.G1.msm(pts, scalars)
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point MSM (precomputed window tables — the prover's engine)
+# ---------------------------------------------------------------------------
+
+def test_msm_fixed_g1_vs_oracle():
+    from owshen_tpu.ops.msm_fixed import FixedMsm
+
+    n = 37  # non-power-of-two: exercises identity padding
+    ks = [rng.randrange(1, 10000) for _ in range(n)]
+    pts = _g1_points(ks)
+    scalars = [rng.randrange(FR.p) for _ in range(n)]
+    fx = FixedMsm(bn254.G1, bn254.g1_encode(pts))
+    got = bn254.g1_decode_host(fx.mul(jnp.asarray(ints_to_array(scalars))))
+    assert got == ocurve.G1.msm(pts, scalars)
+    # short scalar batches zero-pad (the k_g1 private-var slice path)
+    got2 = bn254.g1_decode_host(
+        fx.mul(jnp.asarray(ints_to_array(scalars[:5]))))
+    assert got2 == ocurve.G1.msm(pts[:5], scalars[:5])
+    # all-zero scalars -> identity
+    assert bn254.g1_decode_host(
+        fx.mul(jnp.zeros((n, 16), jnp.uint32))) is None
+
+
+def test_msm_fixed_g2_vs_oracle():
+    from owshen_tpu.ops.msm_fixed import FixedMsm
+
+    n = 9
+    pts = [ocurve.G2.mul(ocurve.G2_GEN, rng.randrange(1, 500))
+           for _ in range(n)]
+    sc = [rng.randrange(FR.p) for _ in range(n)]
+    fx = FixedMsm(bn254.G2, bn254.g2_encode(pts))
+    got = bn254.g2_decode_host(fx.mul(jnp.asarray(ints_to_array(sc))))
+    want = None
+    for pt, s in zip(pts, sc):
+        want = ocurve.G2.add(want, ocurve.G2.mul(pt, s))
+    assert got == want
+
+
+def test_msm_fixed_shared_compile_cache():
+    """Same-shape point sets share ONE compiled mul fn (tables ride in as
+    arguments) — the property that bounds the prover's TPU compile cost."""
+    from owshen_tpu.ops.msm_fixed import FixedMsm, _mul_jit
+
+    pts_a = _g1_points([3, 5, 7, 11])
+    pts_b = _g1_points([13, 17, 19, 23])
+    fa = FixedMsm(bn254.G1, bn254.g1_encode(pts_a))
+    fb = FixedMsm(bn254.G1, bn254.g1_encode(pts_b))
+    assert _mul_jit(bn254.G1, 4, fa.n) is _mul_jit(bn254.G1, 4, fb.n)
+    sc = [rng.randrange(FR.p) for _ in range(4)]
+    ga = bn254.g1_decode_host(fa.mul(jnp.asarray(ints_to_array(sc))))
+    gb = bn254.g1_decode_host(fb.mul(jnp.asarray(ints_to_array(sc))))
+    assert ga == ocurve.G1.msm(pts_a, sc)
+    assert gb == ocurve.G1.msm(pts_b, sc)

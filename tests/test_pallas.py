@@ -87,3 +87,28 @@ def test_ntt_kernel():
                                 inverse=True))
     n_inv = pow(n, -1, FR.p)
     assert [v * n_inv % FR.p for v in back] == xs
+
+
+def test_ntt_kernel_recursive_split():
+    """log_n > MAX_FUSED_LOGN exercises the recursive Bailey split (the
+    compile-cost fix: capped fused kernels + per-level twiddle correction)
+    against the oracle, forward and inverse."""
+    from owshen_tpu.oracle import ntt as ontt
+    from owshen_tpu.pallas import ntt_kernels
+
+    old = ntt_kernels.MAX_FUSED_LOGN
+    ntt_kernels.MAX_FUSED_LOGN = 3  # force two recursion levels at n=512
+    try:
+        log_n = 9
+        n = 1 << log_n
+        xs = [rng.randrange(FR.p) for _ in range(n)]
+        omega = pow(FR.generator, (FR.p - 1) >> log_n, FR.p)
+        got = FR.decode(ntt_kernels.ntt_pallas(
+            jnp.asarray(FR.encode(xs)), log_n))
+        assert got == ontt.ntt(xs, omega)
+        back = FR.decode(ntt_kernels.ntt_pallas(
+            jnp.asarray(FR.encode(got)), log_n, inverse=True))
+        n_inv = pow(n, -1, FR.p)
+        assert [v * n_inv % FR.p for v in back] == xs
+    finally:
+        ntt_kernels.MAX_FUSED_LOGN = old
