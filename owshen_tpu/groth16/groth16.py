@@ -321,15 +321,16 @@ class _FixedTables:
                   if pk.k_g1 is not None else None)
         self.h = FixedMsm(bn254.G1, pk.h_g1, n_min=self.n)
         _stage_log("k/h tables built")
-        # tail tables: [α, β, δ]₁ (padded to 4) and [β, δ]₂ — per-proof
-        # randomizer terms become two tiny same-shape MSM calls instead of
-        # six 254-step double-and-add ladders
-        tail1 = tuple(jnp.concatenate([a, b, d])
-                      for a, b, d in zip(pk.alpha_g1, pk.beta_g1, pk.delta_g1))
-        self.tail1 = FixedMsm(bn254.G1, tail1)
-        tail2 = tuple(jnp.concatenate([b, d])
-                      for b, d in zip(pk.beta_g2, pk.delta_g2))
-        self.tail2 = FixedMsm(bn254.G2, tail2)
+        # tail points (α, β, δ)₁ / (β, δ)₂ as HOST affine ints: the
+        # per-proof randomizer terms are 5 single scalar-muls — ~0.1 s of
+        # host oracle arithmetic, vs ~3 minutes of extra remote compile
+        # for dedicated tiny-table MSM jits (measured in the round-4
+        # rehearsal: "tables ready"+"tails dispatched" cost 174 s)
+        self.alpha1 = bn254.g1_decode_host(tuple(a[0] for a in pk.alpha_g1))
+        self.beta1 = bn254.g1_decode_host(tuple(a[0] for a in pk.beta_g1))
+        self.delta1 = bn254.g1_decode_host(tuple(a[0] for a in pk.delta_g1))
+        self.beta2 = bn254.g2_decode_host(tuple(a[0] for a in pk.beta_g2))
+        self.delta2 = bn254.g2_decode_host(tuple(a[0] for a in pk.delta_g2))
 
 
 def _fixed_tables(pk: ProvingKey) -> _FixedTables:
@@ -392,11 +393,19 @@ def _prove_fixed(pk: ProvingKey, builder: Builder, w, r: int, s: int,
     else:
         k_w = bn254.G1.identity_like(a_w[0])
     h_h = fx.h.mul(h_sc)
-    tail_a = fx.tail1.mul(jnp.asarray(ints_to_array([1, 0, r % P, 0])))
-    tail_c = fx.tail1.mul(jnp.asarray(
-        ints_to_array([s % P, r % P, (r * s) % P, 0])))
-    tail_b2 = fx.tail2.mul(jnp.asarray(ints_to_array([1, s % P])))
-    _stage_log("tails dispatched")
+    # randomizer tails on HOST (oracle affine arithmetic — 5 scalar-muls):
+    #   tail_a  = α + r·δ          tail_c = s·α + r·β + r·s·δ
+    #   tail_b2 = β₂ + s·δ₂
+    oG1, oG2 = ocurve.G1, ocurve.G2
+    tail_a_pt = oG1.add(fx.alpha1, oG1.mul(fx.delta1, r % P))
+    tail_c_pt = oG1.add(oG1.add(oG1.mul(fx.alpha1, s % P),
+                                oG1.mul(fx.beta1, r % P)),
+                        oG1.mul(fx.delta1, (r * s) % P))
+    tail_b2_pt = oG2.add(fx.beta2, oG2.mul(fx.delta2, s % P))
+    tail_a = tuple(a[0] for a in bn254.g1_encode([tail_a_pt]))
+    tail_c = tuple(a[0] for a in bn254.g1_encode([tail_c_pt]))
+    tail_b2 = tuple(a[0] for a in bn254.g2_encode([tail_b2_pt]))
+    _stage_log("tails computed (host)")
     A, B2, C = _combine_jit()(a_w, tail_a, b2_w, tail_b2, a_sw, b1_rw,
                               k_w, h_h, tail_c)
     a_aff = bn254.g1_decode_host(A)

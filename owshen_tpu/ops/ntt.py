@@ -32,8 +32,14 @@ def _bitrev_indices(log_n: int) -> np.ndarray:
 
 
 def powers_device(F: Field, base: int, n: int):
-    """[1, base, base², …, base^(n-1)] as a Montgomery device array, built by
-    log₂n block-doubling mults (host does only log₂n scalar pows).
+    """[1, base, base², …, base^(n-1)] as a Montgomery device array: host
+    computes the log₂n square powers base^(2^b); the device combines them
+    by binary index decomposition — log₂n FULL-WIDTH select-and-multiply
+    steps at ONE fixed shape.  (The previous block-doubling concat grew
+    the array 1→n across log₂n DISTINCT shapes, and each distinct-shape
+    eager mul is a fresh remote compile through the axon tunnel — the 2^20
+    twiddle table alone cost ~12 minutes of the round-4 bench's NTT
+    section before this rewrite.)
 
     Runs under ensure_compile_time_eval so the result is CONCRETE even when
     first touched inside a jit trace — these tables are cached on NttDomain
@@ -41,14 +47,15 @@ def powers_device(F: Field, base: int, n: int):
     poisons every later one (observed UnexpectedTracerError in the
     distributed prover when the single-chip h-pipeline had populated
     coset_pows first)."""
+    logn = max((n - 1).bit_length(), 1)
+    sq = [pow(base, 1 << b, F.p) for b in range(logn)]
     with jax.ensure_compile_time_eval():
-        arr = jnp.asarray(F.encode([1]))
-        m = 1
-        while m < n:
-            step = jnp.asarray(F.const(pow(base, m, F.p)))
-            arr = jnp.concatenate([arr, F.mul(arr, step)], axis=0)
-            m *= 2
-        return arr[:n]
+        idx = jnp.arange(n, dtype=jnp.uint32)
+        arr = jnp.broadcast_to(jnp.asarray(F.const(1)), (n, F.L))
+        for b in range(logn):
+            mult = F.mul(arr, jnp.asarray(F.const(sq[b]))[None])
+            arr = F.select(((idx >> b) & 1) == 1, mult, arr)
+        return arr
 
 
 class NttDomain:
@@ -127,12 +134,44 @@ class NttDomain:
         x, _ = jax.lax.scan(body, x, (ia_all, ib_all, itw_all))
         return x
 
+    def _transform_bailey(self, x, pows):
+        """4-step (Bailey) split n = n1·n2 with scan-form sub-transforms —
+        the XLA-path answer to the unrolled stage ladder's compile cost
+        (measured round 4: the unrolled 2^20 transform cost ~16 min of
+        remote compile; the traced graph here is two small scans plus one
+        twiddle multiply).  Sub-domain tables slice out of the given
+        `pows` (ω_{n1}^j = ω_n^{j·n2}), so forward/inverse both work; the
+        ω^{k1·i2} correction reads pows[e] for e < n/2 and −pows[e−n/2]
+        above (ω^{n/2} = −1).  2-D input only (the bench/h-pipeline
+        shapes)."""
+        F, n = self.F, self.n
+        la = self.log_n // 2
+        lb = self.log_n - la
+        n1, n2 = 1 << la, 1 << lb
+        sub1 = NttDomain(la, F)
+        sub2 = NttDomain(lb, F)
+        mat = x.reshape(n1, n2, F.L)                  # i = i1·n2 + i2
+        a = sub1._transform_scan(mat, pows[::n2][: n1 // 2])
+        k1 = jnp.arange(n1, dtype=jnp.int32)[:, None]
+        i2 = jnp.arange(n2, dtype=jnp.int32)[None, :]
+        e = (k1 * i2).reshape(-1)                     # < n, int32-exact
+        lo = e < (n // 2)
+        tw = jnp.take(pows, jnp.where(lo, e, e - n // 2), axis=0)
+        tw = F.select(lo, tw, F.neg(tw)).reshape(n1, n2, F.L)
+        b = F.mul(a, tw)
+        c = sub2._transform_scan(jnp.moveaxis(b, 1, 0),
+                                 pows[::n1][: n2 // 2])
+        # c is (k2, k1, L); row-major flatten = natural X[k1 + n1·k2]
+        return c.reshape(n, F.L)
+
     def _transform(self, x, pows):
         """x: uint32[n, ..., L] Montgomery -> NTT along axis 0 (natural
         in/out); trailing axes are batch (vectorized across VPU lanes)."""
         F, n, log_n = self.F, self.n, self.log_n
         if 2 <= log_n <= 14:
             return self._transform_scan(x, pows)
+        if x.ndim == 2 and log_n <= 28:
+            return self._transform_bailey(x, pows)
         rest = x.shape[1:]
         x = jnp.take(x, self._bitrev, axis=0)
         for s in range(1, log_n + 1):

@@ -58,3 +58,20 @@ def test_coset_roundtrip_and_vanishing():
     z = (pow(dom.coset_gen, dom.n, FR.p) - 1) % FR.p
     assert z != 0
     assert dom.z_on_coset_inv() == pow(z, -1, FR.p)
+
+
+def test_ntt_bailey_xla_path():
+    """log_n > 14 routes the XLA path through the 4-step Bailey split with
+    scan-form sub-transforms (the 2^20 bench shape, shrunk): gate fwd+inv
+    against the oracle at n = 2^16 with a structured input."""
+    log_n = 16
+    n = 1 << log_n
+    dom = NttDomain(log_n)
+    base = [rng.randrange(FR.p) for _ in range(64)]
+    xs = [base[i % 64] + i % 97 for i in range(n)]
+    enc = FR.encode(xs)
+    got = FR.decode(jax.jit(dom.ntt)(enc))
+    assert got == ontt.ntt(xs)
+    back = FR.decode(jax.jit(dom.intt)(jax.numpy.asarray(
+        FR.encode(got))))
+    assert back == [x % FR.p for x in xs]
