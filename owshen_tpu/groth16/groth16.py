@@ -326,11 +326,12 @@ class _FixedTables:
         # host oracle arithmetic, vs ~3 minutes of extra remote compile
         # for dedicated tiny-table MSM jits (measured in the round-4
         # rehearsal: "tables ready"+"tails dispatched" cost 174 s)
-        self.alpha1 = bn254.g1_decode_host(tuple(a[0] for a in pk.alpha_g1))
-        self.beta1 = bn254.g1_decode_host(tuple(a[0] for a in pk.beta_g1))
-        self.delta1 = bn254.g1_decode_host(tuple(a[0] for a in pk.delta_g1))
-        self.beta2 = bn254.g2_decode_host(tuple(a[0] for a in pk.beta_g2))
-        self.delta2 = bn254.g2_decode_host(tuple(a[0] for a in pk.delta_g2))
+        th = _tail_host(pk)
+        self.alpha1 = th["alpha1"]
+        self.beta1 = th["beta1"]
+        self.delta1 = th["delta1"]
+        self.beta2 = th["beta2"]
+        self.delta2 = th["delta2"]
 
 
 def _fixed_tables(pk: ProvingKey) -> _FixedTables:
@@ -339,6 +340,70 @@ def _fixed_tables(pk: ProvingKey) -> _FixedTables:
         fx = _FixedTables(pk)
         object.__setattr__(pk, "_fixed", fx)
     return fx
+
+
+def _tail_host(pk: ProvingKey) -> dict:
+    """The five fixed tail points (α, β, δ)₁ / (β, δ)₂ as host affine ints,
+    decoded once per pk: randomizer tail terms are 5 single scalar-muls of
+    host oracle arithmetic per proof (~0.1 s) — dedicated device jits for
+    them cost minutes of remote compile (round-4 rehearsal measurement)."""
+    th = getattr(pk, "_tail_host_cache", None)
+    if th is None:
+        th = {
+            "alpha1": bn254.g1_decode_host(tuple(a[0] for a in pk.alpha_g1)),
+            "beta1": bn254.g1_decode_host(tuple(a[0] for a in pk.beta_g1)),
+            "delta1": bn254.g1_decode_host(tuple(a[0] for a in pk.delta_g1)),
+            "beta2": bn254.g2_decode_host(tuple(a[0] for a in pk.beta_g2)),
+            "delta2": bn254.g2_decode_host(tuple(a[0] for a in pk.delta_g2)),
+        }
+        object.__setattr__(pk, "_tail_host_cache", th)
+    return th
+
+
+def _prove_core(pk: ProvingKey, w, r: int, s: int, h_sc, mg1, mg2) -> Proof:
+    """Shared tail-free prover algebra over pluggable MSM backends.
+
+    Uses  s·A = s·α + MSM_a(s·w) + s·r·δ  and  r·B₁ = r·β + MSM_b1(r·w)
+    + r·s·δ  so C needs no variable-point scalar multiplication at all:
+      C = MSM_h(h) + MSM_k(w_priv) + MSM_a(s·w) + MSM_b1(r·w)
+          + (s·α + r·β + r·s·δ).
+    mg1(which, scalars) / mg2(scalars): the MSM backend — fixed tables on
+    one chip, msm_dist over the mesh."""
+    th = _tail_host(pk)
+    w_sc = jnp.asarray(ints_to_array(w))
+    sw = jnp.asarray(ints_to_array([(s * wi) % P for wi in w]))
+    rw = jnp.asarray(ints_to_array([(r * wi) % P for wi in w]))
+    a_w = mg1("a", w_sc)
+    a_sw = mg1("a", sw)
+    b1_rw = mg1("b1", rw)
+    _stage_log("g1 msms dispatched")
+    b2_w = mg2(w_sc)
+    _stage_log("g2 msm dispatched")
+    if pk.k_g1 is not None:
+        k_w = mg1("k", w_sc[pk.n_pub:])
+    else:
+        k_w = bn254.G1.identity_like(a_w[0])
+    h_h = mg1("h", h_sc)
+    # randomizer tails on HOST (oracle affine arithmetic — 5 scalar-muls):
+    #   tail_a  = α + r·δ          tail_c = s·α + r·β + r·s·δ
+    #   tail_b2 = β₂ + s·δ₂
+    oG1, oG2 = ocurve.G1, ocurve.G2
+    tail_a_pt = oG1.add(th["alpha1"], oG1.mul(th["delta1"], r % P))
+    tail_c_pt = oG1.add(oG1.add(oG1.mul(th["alpha1"], s % P),
+                                oG1.mul(th["beta1"], r % P)),
+                        oG1.mul(th["delta1"], (r * s) % P))
+    tail_b2_pt = oG2.add(th["beta2"], oG2.mul(th["delta2"], s % P))
+    tail_a = tuple(a[0] for a in bn254.g1_encode([tail_a_pt]))
+    tail_c = tuple(a[0] for a in bn254.g1_encode([tail_c_pt]))
+    tail_b2 = tuple(a[0] for a in bn254.g2_encode([tail_b2_pt]))
+    _stage_log("tails computed (host)")
+    A, B2, C = _combine_jit()(a_w, tail_a, b2_w, tail_b2, a_sw, b1_rw,
+                              k_w, h_h, tail_c)
+    a_aff = bn254.g1_decode_host(A)
+    b_aff = bn254.g2_decode_host(B2)
+    c_aff = bn254.g1_decode_host(C)
+    _stage_log("decoded")
+    return Proof(a=a_aff, b=b_aff, c=c_aff)
 
 
 @functools.lru_cache(maxsize=None)
@@ -371,48 +436,36 @@ def _stage_log(msg: str) -> None:
 
 def _prove_fixed(pk: ProvingKey, builder: Builder, w, r: int, s: int,
                  h_sc) -> Proof:
-    """Single-chip prover over precomputed tables: zero long scans.
-
-    Uses  s·A = s·α + MSM_a(s·w) + s·r·δ  and  r·B₁ = r·β + MSM_b1(r·w)
-    + r·s·δ  so C needs no variable-point scalar multiplication at all:
-      C = MSM_h(h) + MSM_k(w_priv) + MSM_a(s·w) + MSM_b1(r·w)
-          + (s·α + r·β + r·s·δ)."""
+    """Single-chip prover over precomputed tables: zero long scans."""
     fx = _fixed_tables(pk)
     _stage_log("tables ready")
-    w_sc = jnp.asarray(ints_to_array(w))
-    sw = jnp.asarray(ints_to_array([(s * wi) % P for wi in w]))
-    rw = jnp.asarray(ints_to_array([(r * wi) % P for wi in w]))
-    a_w = fx.a.mul(w_sc)
-    a_sw = fx.a.mul(sw)
-    b1_rw = fx.b1.mul(rw)
-    _stage_log("g1 msms dispatched")
-    b2_w = fx.b2.mul(w_sc)
-    _stage_log("g2 msm dispatched")
-    if fx.k is not None:
-        k_w = fx.k.mul(w_sc[pk.n_pub:])
-    else:
-        k_w = bn254.G1.identity_like(a_w[0])
-    h_h = fx.h.mul(h_sc)
-    # randomizer tails on HOST (oracle affine arithmetic — 5 scalar-muls):
-    #   tail_a  = α + r·δ          tail_c = s·α + r·β + r·s·δ
-    #   tail_b2 = β₂ + s·δ₂
-    oG1, oG2 = ocurve.G1, ocurve.G2
-    tail_a_pt = oG1.add(fx.alpha1, oG1.mul(fx.delta1, r % P))
-    tail_c_pt = oG1.add(oG1.add(oG1.mul(fx.alpha1, s % P),
-                                oG1.mul(fx.beta1, r % P)),
-                        oG1.mul(fx.delta1, (r * s) % P))
-    tail_b2_pt = oG2.add(fx.beta2, oG2.mul(fx.delta2, s % P))
-    tail_a = tuple(a[0] for a in bn254.g1_encode([tail_a_pt]))
-    tail_c = tuple(a[0] for a in bn254.g1_encode([tail_c_pt]))
-    tail_b2 = tuple(a[0] for a in bn254.g2_encode([tail_b2_pt]))
-    _stage_log("tails computed (host)")
-    A, B2, C = _combine_jit()(a_w, tail_a, b2_w, tail_b2, a_sw, b1_rw,
-                              k_w, h_h, tail_c)
-    a_aff = bn254.g1_decode_host(A)
-    b_aff = bn254.g2_decode_host(B2)
-    c_aff = bn254.g1_decode_host(C)
-    _stage_log("decoded")
-    return Proof(a=a_aff, b=b_aff, c=c_aff)
+
+    def mg1(which, sc):
+        return getattr(fx, which).mul(sc)
+
+    return _prove_core(pk, w, r, s, h_sc, mg1, fx.b2.mul)
+
+
+def _prove_mesh(pk: ProvingKey, w, r: int, s: int, h_sc, mesh,
+                msm_c: int, msm_lanes: int) -> Proof:
+    """Multi-chip prover: the same tail-free algebra over msm_dist
+    backends (points sharded per chip, ICI all_gather reduce).  Replaces
+    the round-3 mesh tail code (six 254-step scalar-mul ladders + eager
+    glue) that dominated the multichip dryrun's wall time."""
+    from ..parallel.msm_dist import msm_dist
+
+    d = mesh.devices.size
+    pts_g1 = {"a": pk.a_g1, "b1": pk.b_g1, "k": pk.k_g1, "h": pk.h_g1}
+
+    def mg1(which, sc):
+        pts, sc = _pad_for_mesh(pts_g1[which], jnp.asarray(sc), d, bn254.G1)
+        return msm_dist(mesh, bn254.G1, pts, sc, c=msm_c, lanes=msm_lanes)
+
+    def mg2(sc):
+        pts, sc = _pad_for_mesh(pk.b_g2, jnp.asarray(sc), d, bn254.G2)
+        return msm_dist(mesh, bn254.G2, pts, sc, c=msm_c, lanes=msm_lanes)
+
+    return _prove_core(pk, w, r, s, h_sc, mg1, mg2)
 
 
 def prove(pk: ProvingKey, builder: Builder, seed: bytes | None = None,
@@ -458,45 +511,36 @@ def prove(pk: ProvingKey, builder: Builder, seed: bytes | None = None,
             engine = settings().prover_engine
         if engine == "fixed":
             return _prove_fixed(pk, builder, w, r, s, h_sc)
-
-    w_sc = ints_to_array(w)
-    if mesh is None:
-        # pad every MSM to a power-of-two batch so the deposit circuit's
-        # three G1 MSMs (m, m-n_pub, n-1 points) share ONE compiled shape
-        # (each distinct shape is a fresh ~25 s TPU compile, no cache)
-        def _padded(group, curve):
-            inner = _msm_jit(group, msm_c, msm_lanes, engine)
-
-            def call(pts, sc):
-                n_in = sc.shape[0]
-                n2 = 1 << max(9, (n_in - 1).bit_length())
-                if n2 != n_in:
-                    ident = curve.identity_like(pts[0][0])
-                    pts = tuple(
-                        jnp.concatenate(
-                            [a, jnp.broadcast_to(jnp.expand_dims(iz, 0),
-                                                 (n2 - n_in,) + iz.shape)])
-                        for a, iz in zip(pts, ident))
-                    sc = jnp.concatenate(
-                        [sc, jnp.zeros((n2 - n_in,) + sc.shape[1:], sc.dtype)])
-                return inner(pts, sc)
-
-            return call
-
-        msm_g1 = _padded("g1", bn254.G1)
-        msm_g2 = _padded("g2", bn254.G2)
     else:
-        from ..parallel.msm_dist import msm_dist
+        return _prove_mesh(pk, w, r, s, h_sc, mesh, msm_c, msm_lanes)
 
-        d = mesh.devices.size
+    # legacy single-chip engines ("lane"/"sorted"), kept for comparison:
+    # pad every MSM to a power-of-two batch so the deposit circuit's
+    # three G1 MSMs (m, m-n_pub, n-1 points) share ONE compiled shape
+    # (each distinct shape is a fresh ~25 s TPU compile, no cache)
+    w_sc = ints_to_array(w)
 
-        def msm_g1(pts, sc):
-            pts, sc = _pad_for_mesh(pts, sc, d, bn254.G1)
-            return msm_dist(mesh, bn254.G1, pts, sc, c=msm_c, lanes=msm_lanes)
+    def _padded(group, curve):
+        inner = _msm_jit(group, msm_c, msm_lanes, engine)
 
-        def msm_g2(pts, sc):
-            pts, sc = _pad_for_mesh(pts, sc, d, bn254.G2)
-            return msm_dist(mesh, bn254.G2, pts, sc, c=msm_c, lanes=msm_lanes)
+        def call(pts, sc):
+            n_in = sc.shape[0]
+            n2 = 1 << max(9, (n_in - 1).bit_length())
+            if n2 != n_in:
+                ident = curve.identity_like(pts[0][0])
+                pts = tuple(
+                    jnp.concatenate(
+                        [a, jnp.broadcast_to(jnp.expand_dims(iz, 0),
+                                             (n2 - n_in,) + iz.shape)])
+                    for a, iz in zip(pts, ident))
+                sc = jnp.concatenate(
+                    [sc, jnp.zeros((n2 - n_in,) + sc.shape[1:], sc.dtype)])
+            return inner(pts, sc)
+
+        return call
+
+    msm_g1 = _padded("g1", bn254.G1)
+    msm_g2 = _padded("g2", bn254.G2)
 
     # [A]₁ = α + Σ w_i·A_i(τ) + r·δ
     a_acc = msm_g1(pk.a_g1, w_sc)

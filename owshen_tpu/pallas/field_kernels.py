@@ -164,8 +164,14 @@ def _f_consts(field_name: str):
     )
 
 
-def _mul_lm(F: Field, p_rows, np_rows, a, b):
-    """Montgomery product, limb-major: a (L, T) × b (L, T) or (L, 1)."""
+import os as _os
+
+_MUL_KERNEL = _os.environ.get("OWSHEN_MUL_KERNEL", "cios")
+
+
+def _mul_lm_school(F: Field, p_rows, np_rows, a, b):
+    """Schoolbook Montgomery product (3 full products + 3 canons) — the
+    round-2/3 kernel, kept selectable via OWSHEN_MUL_KERNEL=school."""
     ab = _prod_cols_lm(a, b, 2 * L)
     t_lo, _ = _canon_lm(ab[..., :L, :], L)
     m_cols = _prod_cols_lm(t_lo, np_rows, L)
@@ -175,6 +181,52 @@ def _mul_lm(F: Field, p_rows, np_rows, a, b):
     limbs = u[..., L:, :]
     d, borrow = _sub_lm(F, limbs, p_rows)
     return jnp.where(borrow == 0, d, limbs)
+
+
+def _mul_lm_cios(F: Field, p_rows, np_rows, a, b):
+    """Lazy-carry CIOS Montgomery product, limb-major (round-4 default).
+
+    One interleaved multiply-and-reduce pass over the L input limbs: per
+    limb i the running accumulator t (L+1 u32 rows) takes a_i·b and
+    m_i·p (m_i = t₀·n′ mod 2^16 — exact because t₀ is an exact lazy u32),
+    then shifts down one limb, folding t₀'s high bits into t₁.  Row
+    growth is bounded: each iteration adds < 2^18 per row and a row lives
+    ≤ L iterations, so values stay < 2^22 — no per-iteration
+    canonicalization.  ONE final canon + conditional subtract (result
+    < 2p by the standard REDC bound).  vs the schoolbook form this cuts
+    the 32-row shifted block adds (~2/3 of its elemops) to (L+1)-row
+    adds and 3 canons to 1."""
+    t = jnp.zeros(a.shape[:-2] + (L + 1,) + a.shape[-1:], jnp.uint32)
+    np0 = np_rows[..., :1, :]
+
+    def z1_like(x):
+        return jnp.zeros(x.shape[:-2] + (1,) + x.shape[-1:], jnp.uint32)
+
+    for i in range(L):
+        pi = a[..., i:i + 1, :] * b                  # (L, T), exact u32
+        z = z1_like(pi)
+        t = (t + jnp.concatenate([pi & MASK, z], axis=-2)
+             + jnp.concatenate([z, pi >> W], axis=-2))
+        m = ((t[..., :1, :] & MASK) * np0) & MASK    # (1, T)
+        q = m * p_rows                               # (L, T)
+        zq = z1_like(q)
+        t = (t + jnp.concatenate([q & MASK, zq], axis=-2)
+             + jnp.concatenate([zq, q >> W], axis=-2))
+        carry = t[..., :1, :] >> W                   # t0 ≡ 0 mod 2^16
+        t = jnp.concatenate(
+            [t[..., 1:2, :] + carry, t[..., 2:, :],
+             jnp.zeros(t.shape[:-2] + (1,) + t.shape[-1:], jnp.uint32)],
+            axis=-2)
+    limbs, _ = _canon_lm(t, L)                       # value < 2p < 2^256
+    d, borrow = _sub_lm(F, limbs, p_rows)
+    return jnp.where(borrow == 0, d, limbs)
+
+
+def _mul_lm(F: Field, p_rows, np_rows, a, b):
+    """Montgomery product, limb-major: a (L, T) × b (L, T) or (L, 1)."""
+    if _MUL_KERNEL == "school":
+        return _mul_lm_school(F, p_rows, np_rows, a, b)
+    return _mul_lm_cios(F, p_rows, np_rows, a, b)
 
 
 def _add_lm(F: Field, p_rows, a, b):

@@ -151,10 +151,12 @@ def test_msm_sorted_g2():
     assert got == want
 
 
+@pytest.mark.slow
 def test_msm_large_window_split_path():
     """The legacy lane-scan engine's two_c > 512 hi/lo split (c=16) was
     never executed before (advisor r2 finding): gate it against the oracle
-    at a tiny n so the split algebra ships tested."""
+    at a tiny n so the split algebra ships tested.  slow-marked (479 s of
+    CPU compile for a comparison-only engine)."""
     n = 8
     scalars = [rng.randrange(FR.p) for _ in range(n)]
     pts = _g1_points([rng.randrange(300) + 1 for _ in range(n)])
