@@ -137,7 +137,17 @@ def main():
     info = {"platform": dev.platform, "device": str(dev),
             "n_devices": len(jax.devices())}
     log(f"device: {info}")
-    results = {"device": info}
+    # merge with the previous artifact so a BENCH_SECTIONS subset run (or
+    # a section lost to a transient tunnel error) doesn't wipe the other
+    # sections' numbers
+    results = {}
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_results.json")) as fh:
+            results = json.load(fh)
+    except Exception:
+        pass
+    results["device"] = info
     rng = np.random.RandomState(0)
     t0 = time.time()
     _sync(jnp.zeros((8, 8), jnp.uint32) + 1)

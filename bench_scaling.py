@@ -16,8 +16,11 @@ Run:  OWSHEN_TPU_TESTENV=1 PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
       python bench_scaling.py [--big]
 Writes bench_scaling.json; not part of the driver bench budget.
 
---big runs REPRESENTATIVE shapes (VERDICT r3 #7): NTT 2^20 and MSM 2^21
-(2^18 points/device at d=8), where per-shard compute amortizes the
+--big runs REPRESENTATIVE shapes (VERDICT r3 #7): NTT 2^20 and MSM 2^20
+(2^17 points/device at d=8 — the smallest size at which every shard still
+routes to the production sorted engine; CPU wall time caps the size:
+2^18/device costs hours on the XLA CPU mesh), where per-shard compute
+amortizes the
 per-window fixed costs that dominated the toy-size run (the d=8 MSM
 "2.48x overhead" was 64 points/shard paying 16 windows of scan machinery
 each).  Each entry also reports the op's analytic collective volume —
@@ -70,50 +73,61 @@ def main():
     if "--big" in sys.argv:
         L = FR.L
         big = {}
-        # --- NTT 2^20: all_to_all volume = n·L·4 B per transform ---
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "bench_scaling_big.json")
+
+        def save():
+            with open(path, "w") as fh:
+                json.dump(big, fh, indent=1)
+
+        # --- NTT 2^20: all_to_all volume = n*L*4 B per transform ---
+        # XLA CPU runs this graph at ~0.2% of the chip rate (~5 min/call),
+        # so each config is warm-up + ONE timed call and the artifact
+        # checkpoints after every entry.
         log_n = 20
         n = 1 << log_n
         x_small = ints_to_array(
             [int(v) for v in rng.randint(0, 1 << 62, 1 << 12)])
         xs20 = jnp.tile(jnp.asarray(x_small), (1 << 8, 1))
-        for d in (1, 2, 8):
+        for d in (1, 8):
             dn = DistNtt(make_mesh(d), log_n)
-            t = timed(dn.ntt, xs20, iters=2)
+            t = timed(dn.ntt, xs20, iters=1)
             big[f"ntt_2^20_d{d}"] = {
                 "s": t, "collective_bytes": n * L * 4,
                 "per_device_rows": n // d}
+            save()
             print(f"ntt 2^20 d={d}: {t*1e3:.0f} ms", flush=True)
-        # --- MSM 2^21 (2^18/device at d=8): all_gather d·3·L·4 B ---
-        log_m = 21
+        # --- MSM 2^20 (2^17 points/device at d=8 -- the smallest size
+        # where every shard still routes to the production sorted
+        # engine): all_gather moves d*3*L*4 B ---
+        log_m = 20
         m = 1 << log_m
         base = bn254.g1_encode(
             [ocurve.G1.mul(ocurve.G1_GEN, k + 1) for k in range(1 << 9)])
-        pts21 = tuple(
+        ptsb = tuple(
             jnp.tile(a, (m >> 9, 1) if a.ndim == 2 else (m >> 9,))
             for a in base)
         sc_small = np.asarray(ints_to_array(
             [int(v) for v in rng.randint(1, 1 << 62, 1 << 12)]))
-        sc21 = jnp.asarray(np.tile(sc_small, (m >> 12, 1)))
+        scb = jnp.asarray(np.tile(sc_small, (m >> 12, 1)))
         for d in (1, 8):
             mesh = make_mesh(d)
             t = timed(lambda p, s: msm_dist(mesh, bn254.G1, p, s),
-                      pts21, sc21, iters=2)
-            big[f"msm_2^21_d{d}"] = {
+                      ptsb, scb, iters=1)
+            big[f"msm_2^{log_m}_d{d}"] = {
                 "s": t, "collective_bytes": d * 3 * L * 4,
                 "per_device_points": m // d}
-            print(f"msm 2^21 d={d}: {t:.2f} s", flush=True)
-        for op, key in (("ntt_2^20", "ntt_2^20"), ("msm_2^21", "msm_2^21")):
+            save()
+            print(f"msm 2^{log_m} d={d}: {t:.2f} s", flush=True)
+        for key in ("ntt_2^20", f"msm_2^{log_m}"):
             t1 = big[f"{key}_d1"]["s"]
-            for d in (2, 8):
-                if f"{key}_d{d}" in big:
-                    big[f"{key}_d{d}"]["overhead_vs_d1"] = (
-                        big[f"{key}_d{d}"]["s"] / t1)
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "bench_scaling_big.json"), "w") as fh:
-            json.dump(big, fh, indent=1)
-        print(json.dumps({"metric": "mesh_overhead_ratio_d8_msm_2^21",
-                          "value": round(big["msm_2^21_d8"]["overhead_vs_d1"],
-                                         3),
+            if f"{key}_d8" in big:
+                big[f"{key}_d8"]["overhead_vs_d1"] = (
+                    big[f"{key}_d8"]["s"] / t1)
+        save()
+        print(json.dumps({"metric": f"mesh_overhead_d8_msm_2^{log_m}",
+                          "value": round(
+                              big[f"msm_2^{log_m}_d8"]["overhead_vs_d1"], 3),
                           "unit": "x_vs_d1"}), flush=True)
         return
 
