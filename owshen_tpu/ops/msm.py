@@ -31,7 +31,6 @@ distributed reducers and as a tested building block.
 
 from __future__ import annotations
 
-import functools
 import math
 
 import jax

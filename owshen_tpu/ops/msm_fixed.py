@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..fields.field import FR
+
 from .msm import _flat_rows, _signed_digits, _unflat_rows
 
 
