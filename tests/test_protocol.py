@@ -106,3 +106,54 @@ def test_voucher_signature_and_redeem(pool):
     # TPU batched verification: good voucher passes, forged fails
     ok = pool.verify_vouchers_batch([v, bad])
     assert bool(ok[0]) and not bool(ok[1])
+
+
+def test_withdraw_batch_all_or_nothing(pool):
+    """withdraw_batch mirrors the single-path guard matrix and consumes NO
+    nullifiers when any request is invalid (the batch analogue of a failed
+    apply_tx dropping the whole tx, reference blockchain/mod.rs:101-139)."""
+    import dataclasses
+
+    from owshen_tpu.groth16 import groth16
+
+    secret, salt, amount = 31, 32, 330
+    com = circuits.commitment_of(secret, salt, amount)
+    idx = pool.deposit([com], [0xBB01])[0]
+    proof, root, nul = pool.prove_withdraw(secret, salt, amount, idx,
+                                           recipient=0xD00D, msm_lanes=64)
+    # invalid second request (tampered proof) -> whole batch rejected,
+    # first request's nullifier NOT consumed
+    bad_proof = groth16.Proof(a=proof.a, b=proof.b, c=proof.a)
+    with pytest.raises(PoolError, match="invalid proof"):
+        pool.withdraw_batch([(proof, root, nul, 0xD00D, amount),
+                             (bad_proof, root, nul + 1, 0xD00D, amount)])
+    assert nul not in pool.nullifiers
+    # clean batch succeeds; replaying it is rejected on the nullifier
+    vs = pool.withdraw_batch([(proof, root, nul, 0xD00D, amount)])
+    assert pool.verify_vouchers_batch(vs).all()
+    with pytest.raises(PoolError, match="nullifier already spent"):
+        pool.withdraw_batch([(proof, root, nul, 0xD00D, amount)])
+
+
+def test_chain_id_knob_changes_binding(pool, monkeypatch):
+    """OWSHEN_CHAIN_ID reaches the voucher binding hash (round-3 advisor:
+    the knob was documented but dead).  A voucher issued under one chain id
+    must not redeem under another — the cross-chain replay protection
+    Owshen.sol:70-73 encodes by hashing block.chainid."""
+    from owshen_tpu import config
+
+    secret, salt, amount = 41, 42, 440
+    com = circuits.commitment_of(secret, salt, amount)
+    idx = pool.deposit([com], [0xBB02])[0]
+    proof, root, nul = pool.prove_withdraw(secret, salt, amount, idx,
+                                           recipient=0xFEED, msm_lanes=64)
+    v = pool.withdraw(proof, root, nul, recipient=0xFEED, amount=amount)
+    monkeypatch.setenv("OWSHEN_CHAIN_ID", "555")
+    config.settings.cache_clear()
+    try:
+        with pytest.raises(PoolError, match="binding mismatch"):
+            pool.redeem(v)
+    finally:
+        monkeypatch.delenv("OWSHEN_CHAIN_ID")
+        config.settings.cache_clear()
+    assert pool.redeem(v)  # original chain id: redeems fine
