@@ -166,7 +166,10 @@ def _f_consts(field_name: str):
 
 import os as _os
 
-_MUL_KERNEL = _os.environ.get("OWSHEN_MUL_KERNEL", "cios")
+_MUL_KERNEL = _os.environ.get("OWSHEN_MUL_KERNEL", "pend")
+if _MUL_KERNEL not in ("pend", "scratch", "cios", "school"):
+    raise ValueError(
+        f"OWSHEN_MUL_KERNEL={_MUL_KERNEL!r}: expected pend|scratch|cios|school")
 
 
 def _mul_lm_school(F: Field, p_rows, np_rows, a, b):
@@ -222,11 +225,91 @@ def _mul_lm_cios(F: Field, p_rows, np_rows, a, b):
     return jnp.where(borrow == 0, d, limbs)
 
 
-def _mul_lm(F: Field, p_rows, np_rows, a, b):
-    """Montgomery product, limb-major: a (L, T) × b (L, T) or (L, 1)."""
+def _mul_lm_pend(F: Field, p_rows, np_rows, a, b):
+    """Pending-carry CIOS, limb-major (round-5 default).
+
+    Same recurrence as `_mul_lm_cios`, reorganized so EVERY tensor is
+    exactly L=16 rows (two full 8-sublane tiles) and every add is aligned:
+    the cios form's (L+1)-row accumulator pads to 24 sublanes on the VPU —
+    a 1.5× tax on every op — and its hi-half placements need shifted
+    concats.  Here the hi halves of a_i·b and m_i·p go into a separate
+    L-row `pend` accumulator; because the main accumulator shifts down one
+    limb at each iteration end anyway, `pend` (destined for rows i+1..i+L)
+    lands ALIGNED at the start of the next iteration.  The row-0 carry
+    folds inside the mandatory shift concat, so per iteration there is
+    exactly ONE L-row concat and zero misaligned ops.  Bit-exact vs
+    cios/school (tests/test_pallas.py gates all variants)."""
+    t = jnp.zeros(jnp.broadcast_shapes(a.shape, b.shape), jnp.uint32)
+    pend = t
+    np0 = np_rows[..., :1, :]
+    for i in range(L):
+        pi = a[..., i:i + 1, :] * b                  # (L, T), exact u32
+        t = t + pend + (pi & MASK)
+        m = ((t[..., :1, :] & MASK) * np0) & MASK    # (1, T)
+        q = m * p_rows                               # (L, T), exact u32
+        t = t + (q & MASK)
+        pend = (pi >> W) + (q >> W)
+        # shift down one limb; row 0 is ≡ 0 mod 2^16, fold its carry
+        t = jnp.concatenate(
+            [t[..., 1:2, :] + (t[..., :1, :] >> W), t[..., 2:, :],
+             jnp.zeros_like(t[..., :1, :])], axis=-2)
+    t = t + pend                                     # rows < 2^23, lazy
+    limbs, _ = _canon_lm(t, L)                       # value < 2p < 2^256
+    d, borrow = _sub_lm(F, limbs, p_rows)
+    return jnp.where(borrow == 0, d, limbs)
+
+
+def _mul_lm_scratch(F: Field, p_rows, np_rows, a, b, acc):
+    """Lazy-carry CIOS against a VMEM scratch accumulator (round-5 default).
+
+    Same recurrence as `_mul_lm_cios`, but the accumulator is a (2L, T)
+    scratch REF at FIXED row offsets: instead of shifting the whole (L+1)-row
+    value down one limb per iteration (a concat + full-block add in the SSA
+    form — ~2/3 of the cios kernel's elemops, PERF.md "Kernel accounting"),
+    iteration i adds its a_i·b / m_i·p halves in place at row offsets i and
+    i+1 with sliced `ref[i:i+L] += x` stores.  Row i is finalized exactly
+    (≡ 0 mod 2^16 after the m_i·p add) before its high bits are folded into
+    row i+1, so rows < L contribute nothing and rows [L, 2L) hold the
+    REDC quotient lazily carried (< 2^22 — see bound note in _mul_lm_cios).
+    ONE final canon + conditional subtract, as before.  Bit-exact vs the
+    cios/school forms (tests/test_pallas.py gates all three)."""
+    T = a.shape[-1]
+    acc[...] = jnp.zeros((2 * L, T), jnp.uint32)
+    np0 = np_rows[:1, :]
+    for i in range(L):
+        pi = a[i:i + 1, :] * b                       # (L, T), exact u32
+        acc[i:i + L, :] += pi & MASK
+        acc[i + 1:i + L + 1, :] += pi >> W
+        m = ((acc[i:i + 1, :] & MASK) * np0) & MASK  # (1, T)
+        q = m * p_rows                               # (L, T), exact u32
+        acc[i:i + L, :] += q & MASK
+        acc[i + 1:i + L + 1, :] += q >> W
+        # row i is now ≡ 0 mod 2^16; fold its high part forward
+        acc[i + 1:i + 2, :] += acc[i:i + 1, :] >> W
+    limbs, _ = _canon_lm(acc[L:2 * L, :], L)         # value < 2p < 2^256
+    d, borrow = _sub_lm(F, limbs, p_rows)
+    return jnp.where(borrow == 0, d, limbs)
+
+
+def _mul_lm(F: Field, p_rows, np_rows, a, b, acc=None):
+    """Montgomery product, limb-major: a (L, T) × b (L, T) or (L, 1).
+
+    `acc`: optional (2L, T) VMEM scratch ref enabling the in-place kernel
+    (the default; kernels allocate it via scratch_shapes).  Without a
+    scratch ref the value-form cios/school kernels are used."""
+    if _MUL_KERNEL == "pend":
+        return _mul_lm_pend(F, p_rows, np_rows, a, b)
+    if _MUL_KERNEL == "scratch" and acc is not None:
+        return _mul_lm_scratch(F, p_rows, np_rows, a, b, acc)
     if _MUL_KERNEL == "school":
         return _mul_lm_school(F, p_rows, np_rows, a, b)
     return _mul_lm_cios(F, p_rows, np_rows, a, b)
+
+
+def _mul_scratch_shape(block_t: int):
+    """The scratch buffer every mul-bound kernel allocates: one (2L, T)
+    u32 accumulator (128 KB at T=1024) reused across sequential muls."""
+    return pltpu.VMEM((2 * L, block_t), jnp.uint32)
 
 
 def _add_lm(F: Field, p_rows, a, b):
@@ -251,13 +334,13 @@ def _poseidon_tables(t: int):
 
 
 def _poseidon2_kernel(l_ref, r_ref, c_ref, m_ref, mask_ref, p_ref, np_ref,
-                      out_ref):
+                      out_ref, acc_ref):
     F = FR
     p_rows, np_rows = p_ref[...], np_ref[...]
     T = l_ref.shape[1]
     n_rounds = c_ref.shape[0]
     zero = jnp.zeros((L, T), jnp.uint32)
-    mul = lambda a, b: _mul_lm(F, p_rows, np_rows, a, b)
+    mul = lambda a, b: _mul_lm(F, p_rows, np_rows, a, b, acc_ref)
     add = lambda a, b: _add_lm(F, p_rows, a, b)
 
     def pow5(x):
@@ -324,6 +407,7 @@ def poseidon_hash2_pallas(left, right, block_t: int = 512):
         out_specs=pl.BlockSpec((L, block_t), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((L, n), jnp.uint32),
+        scratch_shapes=[_mul_scratch_shape(block_t)],
         interpret=_interpret(),
     )(lt, rt, jnp.asarray(C), jnp.asarray(M), jnp.asarray(mask),
       *(jnp.asarray(v) for v in _f_consts("fr")))
@@ -341,12 +425,12 @@ def _mimc_tables():
     return np.asarray(_mimc_consts_mont(), np.uint32)   # (91, L)
 
 
-def _mimc_hash2_kernel(l_ref, r_ref, c_ref, p_ref, np_ref, out_ref):
+def _mimc_hash2_kernel(l_ref, r_ref, c_ref, p_ref, np_ref, out_ref, acc_ref):
     F = FR
     p_rows, np_rows = p_ref[...], np_ref[...]
     T = l_ref.shape[1]
     n_rounds = c_ref.shape[0]
-    mul = lambda a, b: _mul_lm(F, p_rows, np_rows, a, b)
+    mul = lambda a, b: _mul_lm(F, p_rows, np_rows, a, b, acc_ref)
     add = lambda a, b: _add_lm(F, p_rows, a, b)
 
     def pow7(u):
@@ -391,6 +475,7 @@ def mimc_hash2_pallas(left, right, block_t: int = 512):
         out_specs=pl.BlockSpec((L, block_t), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((L, n), jnp.uint32),
+        scratch_shapes=[_mul_scratch_shape(block_t)],
         interpret=_interpret(),
     )(left.T, right.T, jnp.asarray(C), *(jnp.asarray(v) for v in _f_consts("fr")))
     return out.T
@@ -400,8 +485,9 @@ def mimc_hash2_pallas(left, right, block_t: int = 512):
 # Generic Montgomery-mul kernel (Fr)
 # ---------------------------------------------------------------------------
 
-def _mul_kernel(a_ref, b_ref, p_ref, np_ref, out_ref):
-    out_ref[...] = _mul_lm(FR, p_ref[...], np_ref[...], a_ref[...], b_ref[...])
+def _mul_kernel(a_ref, b_ref, p_ref, np_ref, out_ref, acc_ref):
+    out_ref[...] = _mul_lm(FR, p_ref[...], np_ref[...], a_ref[...], b_ref[...],
+                           acc_ref)
 
 
 def mont_mul_pallas(a, b, block_t: int = 1024):
@@ -424,6 +510,7 @@ def mont_mul_pallas(a, b, block_t: int = 1024):
         out_specs=pl.BlockSpec((L, block_t), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((L, n), jnp.uint32),
+        scratch_shapes=[_mul_scratch_shape(block_t)],
         interpret=_interpret(),
     )(a.T, b.T, *(jnp.asarray(v) for v in _f_consts("fr")))
     return out.T
@@ -477,28 +564,28 @@ def _wdbl_lm(mul, add, sub, mulc_b3, P1):
     return X3, Y3, Z3
 
 
-def _field_ops(p_ref, np_ref, b3_ref):
+def _field_ops(p_ref, np_ref, b3_ref, acc_ref=None):
     FQ_ = None  # field object only used for signatures
     p_rows, np_rows = p_ref[...], np_ref[...]
     b3 = b3_ref[...]
-    mul = lambda a, b: _mul_lm(FQ_, p_rows, np_rows, a, b)
+    mul = lambda a, b: _mul_lm(FQ_, p_rows, np_rows, a, b, acc_ref)
     add = lambda a, b: _add_lm(FQ_, p_rows, a, b)
     sub = lambda a, b: _submod_lm(FQ_, p_rows, a, b)
-    mulc = lambda a: _mul_lm(FQ_, p_rows, np_rows, a, b3)
+    mulc = lambda a: _mul_lm(FQ_, p_rows, np_rows, a, b3, acc_ref)
     return mul, add, sub, mulc
 
 
 def _g1_add_kernel(x1, y1, z1, x2, y2, z2, p_ref, np_ref, b3_ref,
-                   ox, oy, oz):
-    mul, add, sub, mulc = _field_ops(p_ref, np_ref, b3_ref)
+                   ox, oy, oz, acc_ref):
+    mul, add, sub, mulc = _field_ops(p_ref, np_ref, b3_ref, acc_ref)
     X3, Y3, Z3 = _wadd_lm(mul, add, sub, mulc,
                           (x1[...], y1[...], z1[...]),
                           (x2[...], y2[...], z2[...]))
     ox[...], oy[...], oz[...] = X3, Y3, Z3
 
 
-def _g1_dbl_kernel(x1, y1, z1, p_ref, np_ref, b3_ref, ox, oy, oz):
-    mul, add, sub, mulc = _field_ops(p_ref, np_ref, b3_ref)
+def _g1_dbl_kernel(x1, y1, z1, p_ref, np_ref, b3_ref, ox, oy, oz, acc_ref):
+    mul, add, sub, mulc = _field_ops(p_ref, np_ref, b3_ref, acc_ref)
     X3, Y3, Z3 = _wdbl_lm(mul, add, sub, mulc, (x1[...], y1[...], z1[...]))
     ox[...], oy[...], oz[...] = X3, Y3, Z3
 
@@ -529,6 +616,7 @@ def _pallas_ec(kernel, n_pts, n_in, block_t, *flat):
         out_specs=(spec, spec, spec),
         out_shape=tuple(
             jax.ShapeDtypeStruct((L, n_pts), jnp.uint32) for _ in range(3)),
+        scratch_shapes=[_mul_scratch_shape(block_t)],
         interpret=_interpret(),
     )(*flat)
     return outs

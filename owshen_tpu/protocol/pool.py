@@ -85,7 +85,7 @@ class PrivacyPool:
     reference's Key::DepositedTransaction / Key::BurnId KV entries play)."""
 
     def __init__(self, depth: int = 16, setup_seed: bytes = b"owshen-tpu-pool",
-                 seq_secret: int | None = None):
+                 seq_secret: int | None = None, keys: tuple | None = None):
         self.depth = depth
         self.tree = SparseMerkleTree(depth, "poseidon")
         self.next_index = 0
@@ -106,9 +106,13 @@ class PrivacyPool:
         # push_block persists Key::Delta and pop_block replays it,
         # src/blockchain/mod.rs:284-315)
         self._undo: list[dict] = []
-        # trusted-setup keys for the withdraw circuit at this depth
-        builder = circuits.withdraw_circuit(depth)
-        self.pk, self.vk = groth16.setup(builder, seed=setup_seed)
+        # trusted-setup keys for the withdraw circuit at this depth; callers
+        # holding an existing (pk, vk) pair (tests, restored checkpoints) may
+        # inject it and skip the expensive ceremony
+        if keys is None:
+            builder = circuits.withdraw_circuit(depth)
+            keys = groth16.setup(builder, seed=setup_seed)
+        self.pk, self.vk = keys
 
     # ------------------------------------------------------------------
     # deposit (L1 → pool): mirror of mint_tx.rs:11-49
@@ -275,11 +279,19 @@ class PrivacyPool:
         from ..curves import babyjubjub as jub
 
         bindings = []
+        # Batch-local guard: the reference applies burns one at a time, so a
+        # nullifier repeated WITHIN one batch must fail exactly like a replay
+        # across batches (burn_tx.rs:17-18 — the second apply sees the first's
+        # recorded id).  Without this, two requests sharing a nullifier both
+        # pass the self.nullifiers check (it is only updated after the loop)
+        # and both receive sequencer-signed vouchers.
+        seen_nullifiers: set[int] = set()
         for proof, root, nullifier, recipient, amount in requests:
             if root not in self.roots:
                 raise PoolError("unknown root")
-            if nullifier in self.nullifiers:
+            if nullifier in self.nullifiers or nullifier in seen_nullifiers:
                 raise PoolError("nullifier already spent")
+            seen_nullifiers.add(nullifier)
             ok = groth16.verify(self.vk,
                                 [root, nullifier, recipient, amount], proof)
             if not ok:
