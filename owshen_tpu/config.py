@@ -24,11 +24,15 @@ Environment overrides (all optional):
     OWSHEN_MSM_PALLAS_MIN=<int>  min batch width routed to Pallas inside
                                msm_sorted's chunk scans (default 128)
     OWSHEN_MSM_CHUNK_C=<int>   chunk width C of the prefix scan (default
-                               16384; wider = fewer, wider sequential steps)
+                               32768; wider = fewer, wider sequential steps)
     OWSHEN_HASH_BLOCK=<int>    Poseidon/MiMC Pallas lane-block (default 512)
-    OWSHEN_NTT_PALLAS_MIN_LOGN=<int>  smallest log_n routed to the Pallas
-                               NTT (default 14; below it the Bailey split's
-                               lane dim drops under the vreg width)
+    OWSHEN_NTT_PALLAS_MIN_LOGN=<int>  smallest log_n routed to the FULLY
+                               fused Pallas NTT (default 31 = opt-in: the
+                               round-5 hybrid path — XLA Bailey structure
+                               with fused Pallas butterfly/mul kernels —
+                               wins at every hardware-validated size, and
+                               the fully fused kernel's ≥2^20 compile dies
+                               in a server-side tunnel bug)
     OWSHEN_CHAIN_ID=<int>      protocol chain id (default 918273, the
                                reference's src/config.rs:2)
 """
@@ -68,8 +72,8 @@ def settings() -> Settings:
         msm_window_bits=_int_env("OWSHEN_MSM_C", 16),
         msm_gather_pad=_int_env("OWSHEN_MSM_GATHER_PAD", 128),
         msm_pallas_min=_int_env("OWSHEN_MSM_PALLAS_MIN", 128),
-        msm_chunk_c=_int_env("OWSHEN_MSM_CHUNK_C", 1 << 14),
+        msm_chunk_c=_int_env("OWSHEN_MSM_CHUNK_C", 1 << 15),
         hash_block=_int_env("OWSHEN_HASH_BLOCK", 512),
-        ntt_pallas_min_logn=_int_env("OWSHEN_NTT_PALLAS_MIN_LOGN", 14),
+        ntt_pallas_min_logn=_int_env("OWSHEN_NTT_PALLAS_MIN_LOGN", 31),
         chain_id=_int_env("OWSHEN_CHAIN_ID", 918273),
     )

@@ -241,14 +241,69 @@ def _unflat_rows(rows, widths, shapes):
     return tuple(out)
 
 
-def _prefix_chunk_scan(curve, rows_pt, Q, C):
+def _shift_down_ident(curve, pts, k: int, ident):
+    """pts rows shifted down k along axis 0, identity-filled at the top."""
+    return tuple(
+        jnp.concatenate(
+            [jnp.broadcast_to(jnp.expand_dims(iz, 0), (k,) + iz.shape),
+             a[:-k]])
+        for a, iz in zip(pts, ident))
+
+
+def _hs_exclusive_prefix(curve, pts):
+    """EXCLUSIVE EC prefix along axis 0 in log₂C FULL-WIDTH adds
+    (Hillis–Steele; the identity fill needs no masking under complete
+    formulas).  Replaces the two-level chunk scans whose G single-point
+    steps dominated msm_sorted's wall time: a width-1 composed-XLA
+    complete add is ~700 serialized HLO micro-ops ≈ 1 ms of pure latency,
+    and the old form ran 128 of them per window (round-5 probe — the
+    missing ~3 s of the 6.2 s headline)."""
+    C = pts[0].shape[0]
+    ident = curve.identity_like(pts[0][0])
+    cur = _shift_down_ident(curve, pts, 1, ident)
+    k = 1
+    while k < C:
+        cur = curve.add(cur, _shift_down_ident(curve, cur, k, ident))
+        k *= 2
+    return cur
+
+
+def total_sum_wide(curve, pts, wide: int = 1 << 14):
+    """Σ of an (n, ...) point pytree in ~(n/wide + log₂wide) sequential
+    steps, every one a full-`wide` batched add: fold n → wide with one
+    fixed-shape scan, then an inclusive Hillis–Steele prefix whose last
+    row is the total.  No single-point ops, no shrinking-width ladder."""
+    n = pts[0].shape[0]
+    wide = min(wide, n)
+    if n > wide:
+        seq = tuple(a.reshape((n // wide, wide) + a.shape[1:]) for a in pts)
+        init = tuple(a[0] for a in seq)
+        rest = tuple(a[1:] for a in seq)
+
+        def body(acc, x):
+            return curve.add(acc, x), None
+
+        pts, _ = jax.lax.scan(body, init, rest)
+    ident = curve.identity_like(pts[0][0])
+    cur = pts
+    k = 1
+    while k < wide:
+        cur = curve.add(cur, _shift_down_ident(curve, cur, k, ident))
+        k *= 2
+    return tuple(a[wide - 1] for a in cur)
+
+
+def _prefix_chunk_scan(curve, rows_pt, Q, C, sgn=None):
     """Inclusive prefix sums of a length-n point sequence, chunked so every
     add instance is shape-uniform (ONE Mosaic kernel per distinct width —
     each distinct-shape Pallas instance costs ~25 s of compile through the
     tunnel and the TPU backend has no persistent compile cache).
 
     rows_pt: pytree with (n, ...) leaves in sequence order, n = C*Q with
-    chunk c owning elements [c*Q, (c+1)*Q).  Returns:
+    chunk c owning elements [c*Q, (c+1)*Q).  sgn: optional bool[n] — rows
+    whose y is negated INSIDE the scan body (fused into the step's column
+    slice; a standalone pre-pass select materialized an extra full-array
+    read+write — 0.44 s of the round-5 2^22 headline).  Returns:
       P    — pytree (Q, C, ...): P[q, c] = sum of chunk c's elements 0..q
       EXC  — pytree (C, ...):    sum of all elements before chunk c
     so prefix(e) = EXC[e//Q] + (e%Q > 0 ? P[e%Q - 1, e//Q] : 0)."""
@@ -256,40 +311,28 @@ def _prefix_chunk_scan(curve, rows_pt, Q, C):
     seq = tuple(
         jnp.moveaxis(a.reshape((C, Q) + a.shape[1:]), 1, 0) for a in rows_pt)
     ident_c = curve.identity_like(seq[0][0])
+    K = curve.K
 
-    def step(acc, col):
-        acc = curve.add(acc, col)
-        return acc, acc
+    if sgn is None:
+        def step(acc, col):
+            acc = curve.add(acc, col)
+            return acc, acc
 
-    totals, P = jax.lax.scan(step, ident_c, seq)      # (C, ...), (Q, C, ...)
+        xs = seq
+    else:
+        sgn_cols = jnp.moveaxis(sgn.reshape(C, Q), 1, 0)  # (Q, C)
 
-    # exclusive prefix over the C chunk totals, two-level so the inner adds
-    # stay one fixed width: C = G*R groups, R ~ sqrt(C) so neither scan is
-    # long.  Identical to R=128 at the 2^22 config (C=16K); for small C
-    # (the opt-in prover regime) it avoids a 128-step single-width scan.
-    logc = C.bit_length() - 1
-    R = min(128, 1 << ((logc + 1) // 2))
-    G = C // R
-    tot_g = tuple(a.reshape((G, R) + a.shape[1:]) for a in totals)
-    tot_gt = tuple(jnp.moveaxis(a, 1, 0) for a in tot_g)  # (R, G, ...)
-    ident_g = curve.identity_like(tot_gt[0][0])
+        def step(acc, inp):
+            x, y, z, s = inp
+            y = K.select(s, K.neg(y), y)
+            acc = curve.add(acc, (x, y, z))
+            return acc, acc
 
-    def gstep(acc, col):
-        nxt = curve.add(acc, col)
-        return nxt, acc                                # EXCLUSIVE within group
+        xs = (*seq, sgn_cols)
 
-    gtot, exc_in = jax.lax.scan(gstep, ident_g, tot_gt)  # (G,...), (R, G, ...)
-    # exclusive prefix over the G group totals: tiny, single-point scan
-    ident_1 = curve.identity_like(tot_gt[0][0, 0])
-
-    def sstep(acc, p):
-        nxt = curve.add(acc, p)
-        return nxt, acc
-
-    _, gexc = jax.lax.scan(sstep, ident_1, gtot)       # (G, ...)
-    exc = curve.add(tuple(jnp.moveaxis(a, 0, 1) for a in exc_in),
-                    tuple(a[:, None] for a in gexc))   # (G, R, ...)
-    EXC = tuple(a.reshape((C,) + a.shape[2:]) for a in exc)
+    totals, P = jax.lax.scan(step, ident_c, xs)       # (C, ...), (Q, C, ...)
+    # exclusive prefix over the C chunk totals: log₂C full-width adds
+    EXC = _hs_exclusive_prefix(curve, totals)
     return P, EXC, totals
 
 
@@ -350,15 +393,19 @@ def msm_sorted(curve, points, scalars, c: int | None = None,
     def window_body(acc, inp):
         magw, sgnw = inp
         # --- sort by digit magnitude; carry sign + index as payload ---
-        skeys, ssgn, perm = jax.lax.sort(
-            (magw, sgnw.astype(jnp.uint32), iota), num_keys=1)
+        # sign rides bit 30 of the index payload so the sort moves TWO
+        # arrays, not three (sort was 0.33 s of the 2^22 headline)
+        packed = iota | (sgnw.astype(jnp.int32) << 30)
+        skeys, spay = jax.lax.sort((magw, packed), num_keys=1)
+        perm = spay & ((1 << 30) - 1)
+        ssgn = spay >> 30
         g = jnp.take(rows, perm, axis=0)              # THE big gather
         x, y, z = split(g)
-        # K.select appends the element axes itself (one for Fq, two for
-        # Fq2) — cond must be exactly (n,)
-        y = K.select(ssgn != 0, K.neg(y), y)
-        # --- chunked prefix sums over the sorted sequence ---
-        P, EXC, totals = _prefix_chunk_scan(curve, (x, y, z), Q, C)
+        # --- chunked prefix sums over the sorted sequence; the sign
+        # negation fuses into the scan body's column slice (a standalone
+        # full-array select cost 0.44 s of the 2^22 headline) ---
+        P, EXC, totals = _prefix_chunk_scan(curve, (x, y, z), Q, C,
+                                            sgn=ssgn != 0)
         # grand total via the exclusive prefix (ONE add — a log-tree
         # reduce here would reintroduce a ladder of distinct Pallas shapes)
         total = curve.add(tuple(a[C - 1] for a in EXC),
@@ -374,21 +421,20 @@ def msm_sorted(curve, points, scalars, c: int | None = None,
         p_j = tuple(jnp.take(a, p_idx, axis=0) for a in flatP)
         with_p = curve.add(exc_j, p_j)
         s_j = curve.select(r_idx > 0, with_p, exc_j)   # (m, ...)
-        # --- Σ_j S_{e_j}, chunk-scanned to keep shapes uniform ---
-        R2 = min(128, m)
-        Q2 = m // R2
-        _, EXC2, tot2 = _prefix_chunk_scan(curve, s_j, Q2, R2)
-        s_sum = curve.add(tuple(a[R2 - 1] for a in EXC2),
-                          tuple(a[R2 - 1] for a in tot2))
-        # --- window = m·total − Σ_j S_{e_j} ---
-        mt = total
+        # --- Σ_j S_{e_j}: wide fold + Hillis–Steele total (~16 full-width
+        # steps; the old chunk-scan here burned 256 narrow steps + singles
+        # per window) ---
+        s_sum = total_sum_wide(curve, s_j, wide=min(1 << 14, m))
+        # --- window = m·total − Σ_j S_{e_j}, folded into the Horner carry:
+        #   2^c·acc + m·total − s_sum  =  2^(c-1)·(2·acc + total) − s_sum
+        # (m = 2^(c-1)), merging the m·total doublings into the Horner's —
+        # width-1 ops are ~1 ms of pure serialized-HLO latency each, so
+        # halving the per-window single count matters (round-5 probe) ---
+        t = curve.double(acc)
+        t = curve.add(t, total)
         for _ in range(c - 1):
-            mt = curve.double(mt)
-        wsum = curve.add(mt, curve.neg(s_sum))
-        # --- Horner carry (windows arrive MSB-first) ---
-        for _ in range(c):
-            acc = curve.double(acc)
-        return curve.add(acc, wsum), None
+            t = curve.double(t)
+        return curve.add(t, curve.neg(s_sum)), None
 
     from ..curves.weierstrass import pallas_min_rows
 

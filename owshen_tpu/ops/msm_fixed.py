@@ -147,12 +147,24 @@ class FixedMsm:
     point set (all four Groth16 proving-key MSMs at one circuit size)
     shares ONE compiled program — the table rides in as an argument."""
 
-    def __init__(self, curve, points, c: int = 4, n_min: int = 1):
+    def __init__(self, curve, points, c: int = 4, n_min: int = 1,
+                 _table=None):
         self.curve = curve
         self.c = c
+        if _table is not None:
+            self.table = _table
+            self.n = _table[0].shape[2]
+            return
         pts = _pad_points_pow2(curve, points, n_min)
         self.n = pts[0].shape[0]
         self.table = _build_jit(curve, c, self.n)(pts)
+
+    @classmethod
+    def from_table(cls, curve, table, c: int = 4):
+        """Restore from a serialized (W, D, n, ...) table pytree — the
+        tables are deterministic derived data, so a warm checkpoint skips
+        the device build (round-4 verdict item 6)."""
+        return cls(curve, None, c=c, _table=table)
 
     def mul(self, scalars):
         """scalars: canonical uint32[k, 16] with k <= n (zero-padded)."""
@@ -172,3 +184,126 @@ def _build_jit(curve, c: int, n: int):
 @functools.lru_cache(maxsize=None)
 def _mul_jit(curve, c: int, n: int):
     return jax.jit(lambda table, sc: msm_fixed(curve, table, sc, c))
+
+
+# ---------------------------------------------------------------------------
+# Fused multi-set engine: the Groth16 prover's five same-shape G1 MSMs ride
+# ONE gather + ONE batched fold (round-4 verdict item 5 — the per-MSM
+# dispatch floor and the 5× repetition of the ~180-step fold latency were
+# most of the warm prove's wall time)
+# ---------------------------------------------------------------------------
+
+
+def fold_sum_batched(curve, pts, chunk: int = 1 << 14):
+    """Per-set Σ over axis 1 of a (S, n, ...) point pytree (n a power of
+    two): the S sets fold TOGETHER — every scan step is an (S, w)-wide
+    batched add, so the sequential-step count (the latency tail that
+    dominates circuit-sized folds) is that of ONE set, not S."""
+
+    def scan_fold(p, q, w):
+        seq = tuple(
+            jnp.moveaxis(a.reshape((a.shape[0], q, w) + a.shape[2:]), 1, 0)
+            for a in p)                                   # (q, S, w, ...)
+        init = tuple(a[0] for a in seq)
+        rest = tuple(a[1:] for a in seq)
+
+        def body(acc, x):
+            return curve.add(acc, x), None
+
+        acc, _ = jax.lax.scan(body, init, rest)
+        return acc
+
+    n = pts[0].shape[1]
+    if n > chunk:
+        pts = scan_fold(pts, n // chunk, chunk)
+        n = chunk
+    while n > 1:
+        w = 1 << ((n.bit_length() - 1) // 2)  # ~sqrt(n)
+        pts = scan_fold(pts, n // w, w)
+        n = w
+    return tuple(a[:, 0] for a in pts)
+
+
+def msm_fixed_multi(curve, rows, widths, shapes, scalars, n: int,
+                    slots, c: int = 4, chunk: int = 1 << 14):
+    """S fixed-table MSMs in one pass against a CONCATENATED flat-row table
+    matrix (T tables stacked along axis 0, each W·D·n rows).
+
+    rows: (T·W·D·n, F); scalars: canonical uint32[S, n, 16]; slots: static
+    tuple mapping set -> table index (sets may share a table — the prover
+    evaluates MSM_a at both w and s·w).  Returns a projective pytree of
+    (S, ...) per-set sums.  Jit-safe: one gather + fixed-length scans."""
+    K = curve.K
+    D = (1 << (c - 1)) + 1
+    W = 256 // c
+    S = scalars.shape[0]
+    assert len(slots) == S
+    mag, sgn = _signed_digits(scalars.reshape(S * n, 16), c)   # (W, S·n)
+    mag = mag.reshape(W, S, n)
+    wi = jnp.arange(W, dtype=jnp.int32)[:, None, None]
+    ti = jnp.asarray(slots, jnp.int32)[None, :, None]
+    ii = jnp.arange(n, dtype=jnp.int32)[None, None, :]
+    idx = ti * (W * D * n) + (wi * D + mag.astype(jnp.int32)) * n + ii
+    g = jnp.take(rows, idx.reshape(-1), axis=0)                # (W·S·n, F)
+    x, y, z = _unflat_rows(g, widths, shapes)
+    y = K.select(sgn.reshape(-1), K.neg(y), y)
+
+    def to_sets(a):
+        a = a.reshape((W, S, n) + a.shape[1:])
+        return jnp.moveaxis(a, 1, 0).reshape((S, W * n) + a.shape[3:])
+
+    return fold_sum_batched(curve, tuple(to_sets(a) for a in (x, y, z)),
+                            chunk=chunk)
+
+
+class FixedMsmGroup:
+    """Several same-shape fixed point sets sharing one concatenated
+    flat-row table matrix and one fused compute path.
+
+    Build from point sets (device table construction, one compiled shape),
+    or restore from serialized rows (`from_rows` — round-4 verdict item 6:
+    the tables are deterministic derived data and cold processes should not
+    pay the ~90 s device build again)."""
+
+    def __init__(self, curve, point_sets, c: int = 4, n_min: int = 1,
+                 _rows=None, _meta=None):
+        self.curve = curve
+        self.c = c
+        if _rows is not None:
+            self.rows = _rows
+            self.n, self.n_tables, self.widths, self.shapes = _meta
+            return
+        tabs = []
+        n = None
+        for pts in point_sets:
+            padded = _pad_points_pow2(curve, pts, n_min)
+            n = padded[0].shape[0]
+            table = _build_jit(curve, c, n)(padded)
+            flat = tuple(a.reshape((-1,) + a.shape[3:]) for a in table)
+            r, self.widths, self.shapes = _flat_rows(flat)
+            tabs.append(r)
+        self.n = n
+        self.n_tables = len(tabs)
+        self.rows = jnp.concatenate(tabs, axis=0) if len(tabs) > 1 else tabs[0]
+
+    @property
+    def meta(self):
+        return (self.n, self.n_tables, self.widths, self.shapes)
+
+    @classmethod
+    def from_rows(cls, curve, rows, meta, c: int = 4):
+        return cls(curve, None, c=c, _rows=rows, _meta=meta)
+
+    def mul_multi(self, scalars, slots):
+        """scalars: canonical uint32[S, n, 16]; slots: tuple set->table."""
+        return _multi_jit(self.curve, self.c, self.n, tuple(slots),
+                          tuple(self.widths),
+                          tuple(tuple(s) for s in self.shapes))(
+            self.rows, scalars)
+
+
+@functools.lru_cache(maxsize=None)
+def _multi_jit(curve, c: int, n: int, slots, widths, shapes):
+    return jax.jit(lambda rows, sc: msm_fixed_multi(
+        curve, rows, list(widths), [tuple(s) for s in shapes], sc, n, slots,
+        c))

@@ -58,6 +58,45 @@ def powers_device(F: Field, base: int, n: int):
         return arr
 
 
+def _pallas_rows_ok(F: Field, n_rows: int) -> bool:
+    """Route a bulk Fr op to the fused Pallas kernels: TPU backend, Fr,
+    row count VPU-tiled (the XLA composed form costs ~50 HLO ops and
+    several HBM passes per mul — PERF.md measured it ~28× off the kernel
+    rate, which was most of the round-4 NTT's 0.71 s at 2^20)."""
+    from ..config import settings
+
+    return (F is FR and n_rows >= (1 << 14) and n_rows % 1024 == 0
+            and jax.default_backend() == "tpu" and not settings().no_pallas)
+
+
+def _butterfly(F: Field, a, b, w):
+    """(a + b·w, a − b·w) with the fused Pallas kernel when routable;
+    `w` broadcastable to b's shape.  Shapes (..., L)."""
+    n_rows = int(np.prod(a.shape[:-1]))
+    if _pallas_rows_ok(F, n_rows):
+        from ..pallas.ntt_kernels import butterfly_pallas
+
+        w = jnp.broadcast_to(w, b.shape)
+        lo, hi = butterfly_pallas(a.reshape(n_rows, F.L),
+                                  b.reshape(n_rows, F.L),
+                                  w.reshape(n_rows, F.L))
+        return lo.reshape(a.shape), hi.reshape(a.shape)
+    t = F.mul(b, w)
+    return F.add(a, t), F.sub(a, t)
+
+
+def _bulk_mul(F: Field, a, b):
+    """a·b (Montgomery) with the fused Pallas mul when routable."""
+    n_rows = int(np.prod(a.shape[:-1]))
+    if _pallas_rows_ok(F, n_rows):
+        from ..pallas.field_kernels import mont_mul_pallas
+
+        b = jnp.broadcast_to(b, a.shape)
+        out = mont_mul_pallas(a.reshape(n_rows, F.L), b.reshape(n_rows, F.L))
+        return out.reshape(a.shape)
+    return F.mul(a, b)
+
+
 class NttDomain:
     """Power-of-two evaluation domain over Fr with cached twiddle tables."""
 
@@ -126,9 +165,9 @@ class NttDomain:
             w = jnp.take(pows, t_idx, axis=0)
             if batch_nd:
                 w = w.reshape((w.shape[0],) + (1,) * batch_nd + (F.L,))
-            t = F.mul(b, w)
-            x = x.at[a_idx].set(F.add(a, t))
-            x = x.at[b_idx].set(F.sub(a, t))
+            lo, hi = _butterfly(F, a, b, w)
+            x = x.at[a_idx].set(lo)
+            x = x.at[b_idx].set(hi)
             return x, None
 
         x, _ = jax.lax.scan(body, x, (ia_all, ib_all, itw_all))
@@ -158,7 +197,7 @@ class NttDomain:
         lo = e < (n // 2)
         tw = jnp.take(pows, jnp.where(lo, e, e - n // 2), axis=0)
         tw = F.select(lo, tw, F.neg(tw)).reshape(n1, n2, F.L)
-        b = F.mul(a, tw)
+        b = _bulk_mul(F, a, tw)
         c = sub2._transform_scan(jnp.moveaxis(b, 1, 0),
                                  pows[::n1][: n2 // 2])
         # c is (k2, k1, L); row-major flatten = natural X[k1 + n1·k2]
@@ -182,8 +221,8 @@ class NttDomain:
             w = w.reshape((1, half) + (1,) * (len(rest) - 1) + (F.L,))
             y = x.reshape((n // m, m) + rest)
             a, b = y[:, :half], y[:, half:]
-            t = F.mul(b, w)
-            x = jnp.concatenate([F.add(a, t), F.sub(a, t)], axis=1)
+            lo_, hi_ = _butterfly(F, a, b, w)
+            x = jnp.concatenate([lo_, hi_], axis=1)
             x = x.reshape((n,) + rest)
         return x
 
@@ -214,7 +253,7 @@ class NttDomain:
         else:
             y = self._transform(x, self.pows_inv)
         n_inv = jnp.asarray(self.F.const(self.n_inv))
-        return self.F.mul(y, n_inv[None])
+        return _bulk_mul(self.F, y, n_inv[None])
 
     # ---- coset transforms (for h(x) = (AB - C)/Z on a coset, Groth16) ----
 
@@ -232,11 +271,11 @@ class NttDomain:
 
     def coset_ntt(self, coeffs):
         """Evaluate polynomial (coeff form) on the coset g·H."""
-        return self.ntt(self.F.mul(coeffs, self.coset_pows))
+        return self.ntt(_bulk_mul(self.F, coeffs, self.coset_pows))
 
     def coset_intt(self, evals):
         """Inverse: coset evaluations -> coefficient form."""
-        return self.F.mul(self.intt(evals), self.coset_pows_inv)
+        return _bulk_mul(self.F, self.intt(evals), self.coset_pows_inv)
 
     def z_on_coset_inv(self) -> int:
         """1 / Z_H(g) where Z_H(x) = x^n - 1 (constant on the coset)."""

@@ -164,6 +164,41 @@ def ntt_pallas(x, log_n: int, inverse: bool = False):
     return _axis0_ntt_rec(x.reshape(n, 1, L), log_n, inverse).reshape(n, L)
 
 
+# ---------------------------------------------------------------------------
+# Fused butterfly kernel for the XLA-structured transform: one VMEM-resident
+# pass computes t = b·w, lo = a+t, hi = a−t (the composed-XLA form spends
+# ~50 HLO ops and several HBM round-trips per mul — the round-4 bench's
+# 0.71 s at 2^20 vs the ~40 ms compute bound is mostly that tax)
+# ---------------------------------------------------------------------------
+
+
+def _butterfly_kernel(a_ref, b_ref, w_ref, p_ref, np_ref, lo_ref, hi_ref):
+    p_rows, np_rows = p_ref[...], np_ref[...]
+    t = _mul_lm(FR, p_rows, np_rows, b_ref[...], w_ref[...])
+    lo_ref[...] = _add_lm(FR, p_rows, a_ref[...], t)
+    hi_ref[...] = _submod_lm(FR, p_rows, a_ref[...], t)
+
+
+def butterfly_pallas(a, b, w, block_t: int = 1024):
+    """(lo, hi) = (a + b·w, a − b·w) for uint32[N, L] Montgomery rows,
+    N a multiple of block_t."""
+    n = a.shape[0]
+    assert n % block_t == 0, (n, block_t)
+    spec = pl.BlockSpec((L, block_t), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)
+    cspec = pl.BlockSpec((L, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    lo, hi = pl.pallas_call(
+        _butterfly_kernel,
+        grid=(n // block_t,),
+        in_specs=[spec, spec, spec, cspec, cspec],
+        out_specs=(spec, spec),
+        out_shape=(jax.ShapeDtypeStruct((L, n), jnp.uint32),
+                   jax.ShapeDtypeStruct((L, n), jnp.uint32)),
+        interpret=_interpret(),
+    )(a.T, b.T, w.T, *(jnp.asarray(v) for v in _f_consts("fr")))
+    return lo.T, hi.T
+
+
 @functools.lru_cache(maxsize=None)
 def _full_twiddles(log_n: int, log_n1: int, inverse: bool):
     """ω^{k1·i2} correction table (n1, n2, L) for the split n = n1·n2,

@@ -60,6 +60,40 @@ class PoolError(Exception):
     pass
 
 
+@dataclass(frozen=True)
+class Token:
+    """Asset identity, mirroring the reference's Token::{Native,
+    Erc20{address, decimals, symbol}} (src/types/tx/custom.rs:31-93;
+    metadata keys TokenDecimal/TokenSymbol, src/db/key.rs).  The circuit
+    and voucher bind `address` (0 = native) as the token id."""
+    address: int = 0
+    decimals: int = 18
+    symbol: str = "ETH"
+
+    @property
+    def is_native(self) -> bool:
+        return self.address == 0
+
+
+NATIVE = Token()
+
+
+def _token_id(token) -> int:
+    """Token | int -> the integer id bound by circuits and vouchers."""
+    return token.address if isinstance(token, Token) else int(token)
+
+
+def _binding_hash(recipient: int, token: int, amount: int, nullifier: int,
+                  chain_id: int) -> int:
+    """The L1-escrow release hash, field-for-field in the reference's order:
+    keccak256(abi.encode(msg.sender, _tokenAddress, _amount, _id,
+    block.chainid)) — contracts/src/Owshen.sol:70."""
+    return keccak256_int(
+        recipient.to_bytes(32, "big") + token.to_bytes(32, "big")
+        + amount.to_bytes(32, "big") + nullifier.to_bytes(32, "big")
+        + chain_id.to_bytes(32, "big"))
+
+
 @dataclass
 class Voucher:
     """The L1-release material (reference: api_services/withdrawals.rs:35-78
@@ -74,9 +108,10 @@ class Voucher:
     recipient: int
     amount: int
     nullifier: int
-    binding: int  # keccak256(recipient, amount, id, chain_id) — Owshen.sol:70-73
+    binding: int  # keccak256(recipient, token, amount, id, chain_id) — Owshen.sol:70
     sig_r: tuple  # EdDSA R = (x, y)
     sig_s: int
+    token: int = 0  # asset id (0 = native; else ERC20 address int)
 
 
 class PrivacyPool:
@@ -93,6 +128,13 @@ class PrivacyPool:
         self.minted: set[int] = set()      # mint tx hashes (mint_tx.rs:24-30)
         self.nullifiers: set[int] = set()  # burn ids (burn_tx.rs:15-18)
         self.executed: set[int] = set()    # L1-side isExecuted (Owshen.sol:68)
+        # per-token escrow accounting — defense-in-depth value conservation:
+        # the circuit binds (amount, token) cryptographically, and this
+        # ledger additionally rejects any withdrawal exceeding what was
+        # actually deposited for that asset, bounding the blast radius of a
+        # circuit/setup bug (reference: burn_tx debits a tracked balance and
+        # rejects overdraw, src/blockchain/tx/burn_tx.rs:21-29)
+        self.balances: dict[int, int] = {}
         self.roots: list[int] = [self.tree.root_int()]
         # sequencer identity: EdDSA keypair (the role the secp256k1 owner key
         # plays in the reference, safe_signer.rs:9-39 / cli/mod.rs:27-45)
@@ -118,12 +160,27 @@ class PrivacyPool:
     # deposit (L1 → pool): mirror of mint_tx.rs:11-49
     # ------------------------------------------------------------------
 
-    def deposit(self, commitments: list[int], l1_tx_hashes: list[int]) -> list[int]:
+    def deposit(self, commitments: list[int], l1_tx_hashes: list[int],
+                amounts: list[int] | None = None,
+                tokens: list | None = None) -> list[int]:
         """Credit a batch of commitments.  Guards: each L1 tx hash may mint
         only once (mint_tx.rs:17-22); the derived mint id may not repeat
-        (mint_tx.rs:24-30).  Returns the assigned leaf indices."""
+        (mint_tx.rs:24-30).  Returns the assigned leaf indices.
+
+        amounts/tokens: the per-deposit escrow declaration (the reference's
+        Mint carries token + amount, custom.rs:31-93, credited by mint_tx
+        into Balance(address, token)); they feed the pool's per-token
+        conservation ledger.  Defaults: amount 0, native token — a deposit
+        that declares nothing backs no withdrawal value."""
         if len(commitments) != len(l1_tx_hashes):
             raise PoolError("commitments/tx_hashes length mismatch")
+        if amounts is None:
+            amounts = [0] * len(commitments)
+        if tokens is None:
+            tokens = [0] * len(commitments)
+        if len(amounts) != len(commitments) or len(tokens) != len(commitments):
+            raise PoolError("amounts/tokens length mismatch")
+        token_ids = [_token_id(t) for t in tokens]
         mint_ids = []
         # The guards must also hold WITHIN a batch: the reference applies txs
         # one at a time (mint_tx.rs records each before the next is checked),
@@ -157,10 +214,13 @@ class PrivacyPool:
         self.next_index += len(commitments)
         self.deposited.update(l1_tx_hashes)
         self.minted.update(mint_ids)
+        for tid, amt in zip(token_ids, amounts):
+            self.balances[tid] = self.balances.get(tid, 0) + amt
         self.roots.append(self.tree.root_int())
         self._undo.append({
             "rows": rows, "prior": prior, "count": len(commitments),
-            "tx_hashes": list(l1_tx_hashes), "mint_ids": mint_ids})
+            "tx_hashes": list(l1_tx_hashes), "mint_ids": mint_ids,
+            "amounts": list(amounts), "tokens": token_ids})
         return idxs
 
     def pop_batch(self) -> int:
@@ -176,6 +236,8 @@ class PrivacyPool:
         self.next_index -= rec["count"]
         self.deposited.difference_update(rec["tx_hashes"])
         self.minted.difference_update(rec["mint_ids"])
+        for tid, amt in zip(rec.get("tokens", ()), rec.get("amounts", ())):
+            self.balances[tid] = self.balances.get(tid, 0) - amt
         self.roots.pop()
         metrics.inc("pool.pops")
         assert self.tree.root_int() == self.roots[-1], (
@@ -188,25 +250,33 @@ class PrivacyPool:
     # ------------------------------------------------------------------
 
     def withdraw(self, proof: groth16.Proof, root: int, nullifier: int,
-                 recipient: int, amount: int) -> Voucher:
+                 recipient: int, amount: int, token=0) -> Voucher:
         """Verify a membership proof and release a voucher exactly once per
-        nullifier."""
+        nullifier.  The token id is a PUBLIC INPUT of the withdraw circuit
+        (bound into the commitment), so a proof for asset A cannot release
+        asset B; the pool additionally enforces per-token value
+        conservation (burn_tx.rs:21-29)."""
+        tid = _token_id(token)
         if root not in self.roots:
             raise PoolError("unknown root")
         if nullifier in self.nullifiers:
             # burn_tx.rs:15-18 / Owshen.sol:68 isExecuted[id]
             raise PoolError("nullifier already spent")
+        if self.balances.get(tid, 0) < amount:
+            # defense-in-depth: the escrow cannot overdraw even if the
+            # circuit/setup were broken (burn_tx.rs:21-24)
+            raise PoolError("insufficient pool balance")
         with metrics.timer("pool.withdraw_verify"):
-            ok = groth16.verify(self.vk, [root, nullifier, recipient, amount],
+            ok = groth16.verify(self.vk,
+                                [root, nullifier, recipient, amount, tid],
                                 proof)
         if not ok:
             metrics.inc("pool.rejected_proofs")
             raise PoolError("invalid proof")
         metrics.inc("pool.withdrawals")
         self.nullifiers.add(nullifier)
-        binding = keccak256_int(
-            recipient.to_bytes(32, "big") + amount.to_bytes(32, "big")
-            + nullifier.to_bytes(32, "big") + _chain_id().to_bytes(32, "big"))
+        self.balances[tid] = self.balances.get(tid, 0) - amount
+        binding = _binding_hash(recipient, tid, amount, nullifier, _chain_id())
         # sequencer-sign the binding (reduced into Fr as the EdDSA message) —
         # the voucher the L1 escrow releases against (Owshen.sol:70-76)
         from ..oracle import eddsa as oeddsa
@@ -214,7 +284,7 @@ class PrivacyPool:
         R, s = oeddsa.sign(self._seq_priv,
                            int.from_bytes(os.urandom(32), "big") % FR.p,
                            binding % FR.p)
-        return Voucher(recipient=recipient, amount=amount,
+        return Voucher(recipient=recipient, amount=amount, token=tid,
                        nullifier=nullifier, binding=binding, sig_r=R, sig_s=s)
 
     # ------------------------------------------------------------------
@@ -227,11 +297,9 @@ class PrivacyPool:
         70-76).  Mutates the executed set on success."""
         if voucher.nullifier in self.executed:
             raise PoolError("voucher already executed")
-        binding = keccak256_int(
-            voucher.recipient.to_bytes(32, "big")
-            + voucher.amount.to_bytes(32, "big")
-            + voucher.nullifier.to_bytes(32, "big")
-            + _chain_id().to_bytes(32, "big"))
+        binding = _binding_hash(voucher.recipient, voucher.token,
+                                voucher.amount, voucher.nullifier,
+                                _chain_id())
         if binding != voucher.binding:
             raise PoolError("binding mismatch")
         from ..oracle import eddsa as oeddsa
@@ -278,40 +346,52 @@ class PrivacyPool:
         batch analogue of apply_tx failing the block)."""
         from ..curves import babyjubjub as jub
 
+        norm = []
+        for req in requests:
+            proof, root, nullifier, recipient, amount = req[:5]
+            tid = _token_id(req[5]) if len(req) > 5 else 0
+            norm.append((proof, root, nullifier, recipient, amount, tid))
         bindings = []
-        # Batch-local guard: the reference applies burns one at a time, so a
-        # nullifier repeated WITHIN one batch must fail exactly like a replay
-        # across batches (burn_tx.rs:17-18 — the second apply sees the first's
-        # recorded id).  Without this, two requests sharing a nullifier both
-        # pass the self.nullifiers check (it is only updated after the loop)
-        # and both receive sequencer-signed vouchers.
+        # Batch-local guards: the reference applies burns one at a time, so
+        # a nullifier repeated WITHIN one batch must fail exactly like a
+        # replay across batches (burn_tx.rs:17-18 — the second apply sees
+        # the first's recorded id), and the running per-token balance must
+        # cover each debit in sequence (burn_tx.rs:21-24).  Without these,
+        # two requests sharing a nullifier both pass the self.nullifiers
+        # check (it is only updated after the loop) and both receive
+        # sequencer-signed vouchers.
         seen_nullifiers: set[int] = set()
-        for proof, root, nullifier, recipient, amount in requests:
+        debits: dict[int, int] = {}
+        for proof, root, nullifier, recipient, amount, tid in norm:
             if root not in self.roots:
                 raise PoolError("unknown root")
             if nullifier in self.nullifiers or nullifier in seen_nullifiers:
                 raise PoolError("nullifier already spent")
             seen_nullifiers.add(nullifier)
+            debited = debits.get(tid, 0) + amount
+            if self.balances.get(tid, 0) < debited:
+                raise PoolError("insufficient pool balance")
+            debits[tid] = debited
             ok = groth16.verify(self.vk,
-                                [root, nullifier, recipient, amount], proof)
+                                [root, nullifier, recipient, amount, tid],
+                                proof)
             if not ok:
                 metrics.inc("pool.rejected_proofs")
                 raise PoolError("invalid proof")
-            bindings.append(keccak256_int(
-                recipient.to_bytes(32, "big") + amount.to_bytes(32, "big")
-                + nullifier.to_bytes(32, "big")
-                + _chain_id().to_bytes(32, "big")))
-        n = len(requests)
+            bindings.append(_binding_hash(recipient, tid, amount, nullifier,
+                                          _chain_id()))
+        n = len(norm)
         sigs = jub.eddsa_sign_batch(
             [self._seq_priv] * n,
             [int.from_bytes(os.urandom(32), "big") % FR.p for _ in range(n)],
             [b % FR.p for b in bindings])
         out = []
-        for (proof, root, nullifier, recipient, amount), binding, (R, s) in \
-                zip(requests, bindings, sigs):
+        for (proof, root, nullifier, recipient, amount, tid), binding, \
+                (R, s) in zip(norm, bindings, sigs):
             self.nullifiers.add(nullifier)
+            self.balances[tid] = self.balances.get(tid, 0) - amount
             metrics.inc("pool.withdrawals")
-            out.append(Voucher(recipient=recipient, amount=amount,
+            out.append(Voucher(recipient=recipient, amount=amount, token=tid,
                                nullifier=nullifier, binding=binding,
                                sig_r=R, sig_s=s))
         return out
@@ -322,13 +402,15 @@ class PrivacyPool:
 
     def prove_withdraw(self, secret: int, salt: int, amount: int, index: int,
                        recipient: int, msm_c: int = 8,
-                       msm_lanes: int = 256) -> tuple[groth16.Proof, int, int]:
+                       msm_lanes: int = 256,
+                       token=0) -> tuple[groth16.Proof, int, int]:
         """Build the witness from the live tree and prove membership.
         Returns (proof, root, nullifier)."""
         sibs_dev, _bits = self.tree.path([index])
         sibs = [FR.decode(sibs_dev[0, l][None])[0] for l in range(self.depth)]
         w = circuits.WithdrawWitness(secret=secret, salt=salt, amount=amount,
-                                     index=index, siblings=sibs)
+                                     index=index, siblings=sibs,
+                                     token=_token_id(token))
         root = self.tree.root_int()
         b = circuits.withdraw_circuit(self.depth, w, root=root,
                                       recipient=recipient)

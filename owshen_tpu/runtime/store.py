@@ -75,6 +75,22 @@ def _load_lib():
     return _lib
 
 
+# The native log's replay guard treats any record with klen/vlen > 2^30 as
+# a torn tail and truncates there (store.cc) — so accepting such a put
+# would commit a batch the next open silently DISCARDS (found round 5: a
+# 1.27 GB prover-table pickle made a whole pool checkpoint vanish).  Both
+# engines reject oversized records loudly; large blobs must be chunked
+# (runtime/checkpoint._put_blob does).
+MAX_RECORD = 1 << 30
+
+
+def _check_record_size(key: bytes, value: bytes):
+    if len(key) >= MAX_RECORD or len(value) >= MAX_RECORD:
+        raise ValueError(
+            f"record too large for the log format ({len(value)} bytes >= "
+            f"{MAX_RECORD}); chunk large blobs across keys")
+
+
 class NativeKvStore:
     """Durable KV store over the native log engine (atomic batch commit)."""
 
@@ -93,6 +109,7 @@ class NativeKvStore:
             # an empty-key record would be framed identically to the log's
             # COMMIT marker, and replay would truncate later batches
             raise ValueError("empty keys are not supported")
+        _check_record_size(key, value)
         if self._lib.owshen_store_put(self._h, key, len(key),
                                       value, len(value)) != 0:
             raise IOError("put failed")
@@ -175,6 +192,7 @@ class PyKvStore:
     def put(self, key: bytes, value: bytes):
         if not key:
             raise ValueError("empty keys are not supported")
+        _check_record_size(key, value)  # same contract as the native engine
         self._pending[key] = value
 
     def delete(self, key: bytes):

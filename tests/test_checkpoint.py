@@ -129,7 +129,7 @@ def test_pool_checkpoint_resume(tmp_path, small_pool):
 
     secret, salt, amount = 111, 222, 1000
     com = circuits.commitment_of(secret, salt, amount)
-    idx = pool2.deposit([com], [0xABCDEF])[0]
+    idx = pool2.deposit([com], [0xABCDEF], [amount])[0]
     proof, root, nullifier = pool2.prove_withdraw(
         secret, salt, amount, idx, recipient=0xCAFE, msm_lanes=64)
     v = pool2.withdraw(proof, root, nullifier, recipient=0xCAFE, amount=amount)

@@ -112,3 +112,18 @@ def test_ntt_kernel_recursive_split():
         assert [v * n_inv % FR.p for v in back] == xs
     finally:
         ntt_kernels.MAX_FUSED_LOGN = old
+
+
+def test_butterfly_kernel():
+    """Fused NTT butterfly (lo, hi) = (a + b·w, a − b·w) vs host ints
+    (round-5: the XLA Bailey path routes its hot muls through this)."""
+    from owshen_tpu.pallas.ntt_kernels import butterfly_pallas
+
+    xs, ys, a, b = _pair(128)
+    ws = [rng.randrange(FR.p) for _ in range(128)]
+    w = jnp.asarray(FR.encode(ws))
+    lo, hi = butterfly_pallas(a, b, w, block_t=128)
+    want_lo = [(x + y * t) % FR.p for x, y, t in zip(xs, ys, ws)]
+    want_hi = [(x - y * t) % FR.p for x, y, t in zip(xs, ys, ws)]
+    assert FR.decode(lo) == want_lo
+    assert FR.decode(hi) == want_hi

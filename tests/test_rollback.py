@@ -146,3 +146,38 @@ def test_store_compact_refuses_dirty(tmp_path):
         st.compact()  # clean: allowed
         assert st.get(b"pending") == b"2", name
         st.close()
+
+
+def test_store_rejects_oversized_records(tmp_path):
+    """Records >= 1 GB would pass put/commit but be silently DISCARDED by
+    the log replay guard on reopen (found round 5: a 1.27 GB prover-table
+    pickle made a whole pool checkpoint vanish) — both engines must reject
+    them loudly; runtime/checkpoint chunks large blobs instead."""
+    from owshen_tpu.runtime.store import MAX_RECORD
+
+    for name, st in _stores(tmp_path):
+        class _FakeLen(bytes):
+            def __len__(self):
+                return MAX_RECORD
+        with pytest.raises(ValueError, match="chunk large blobs"):
+            st.put(b"k", _FakeLen(b"v"))
+        st.close()
+
+
+def test_checkpoint_blob_chunking(tmp_path):
+    """_put_blob/_get_blob round-trip across the chunk boundary."""
+    from owshen_tpu.runtime import checkpoint as cp
+    from owshen_tpu.runtime.store import open_store
+
+    orig = cp._BLOB_CHUNK
+    cp._BLOB_CHUNK = 1 << 10
+    try:
+        data = bytes(range(256)) * 37  # 9472 B -> 10 chunks
+        with open_store(str(tmp_path / "blob.db")) as st:
+            cp._put_blob(st, b"blob", data)
+            st.commit()
+        with open_store(str(tmp_path / "blob.db")) as st:
+            assert cp._get_blob(st, b"blob") == data
+            assert cp._get_blob(st, b"missing") is None
+    finally:
+        cp._BLOB_CHUNK = orig
