@@ -279,7 +279,9 @@ def main():
             proof = groth16.prove(pk, b)
             t_prove = time.perf_counter() - t0
             nul = pool.nullifier_of(secret, index)
-            ok = groth16.verify(vk, [root, nul, 0xBEEF, amount], proof)
+            # publics: [root, nullifier, recipient, amount, token] — the
+            # round-5 multi-token binding added `token` (native = 0)
+            ok = groth16.verify(vk, [root, nul, 0xBEEF, amount, 0], proof)
             assert ok, "withdraw proof failed to verify"
             o_est = (3 * b.num_vars + pk.n_domain) / o_pps
             results["groth16_prove_withdraw_d16"] = {
@@ -333,7 +335,11 @@ def main():
              lambda a, b: ohash.mimc7_multi([a, b])),
         ):
             with _section(results, name):
-                n = 1 << 16
+                # 2^20: at 2^16 the ~30-40 ms tunnel dispatch floor was
+                # ~40% of the wall time (493K/s apparent vs 972K at 2^18,
+                # 1.09M at 2^20) — this measures sustained throughput,
+                # not dispatch latency
+                n = 1 << 20
                 x, y = jnp.asarray(rand_fr(256)), jnp.asarray(rand_fr(256))
                 x = jnp.tile(x, (n >> 8, 1))
                 y = jnp.tile(y, (n >> 8, 1))
@@ -399,7 +405,8 @@ def main():
             t0 = time.perf_counter()
             proof = groth16.prove(pk, b)
             t_prove = time.perf_counter() - t0
-            ok = groth16.verify(vk, [com, w.amount], proof)
+            # publics: [commitment, amount, token] (round-5 multi-token)
+            ok = groth16.verify(vk, [com, w.amount, 0], proof)
             assert ok, "deposit proof failed to verify"
             m = b.num_vars
             o_est = (3 * m + pk.n_domain) / o_pps

@@ -84,19 +84,23 @@ def main():
         # XLA CPU runs this graph at ~0.2% of the chip rate (~5 min/call),
         # so each config is warm-up + ONE timed call and the artifact
         # checkpoints after every entry.
+        if os.path.exists(path):
+            with open(path) as fh:
+                big = json.load(fh)  # keep prior sections on partial reruns
         log_n = 20
         n = 1 << log_n
-        x_small = ints_to_array(
-            [int(v) for v in rng.randint(0, 1 << 62, 1 << 12)])
-        xs20 = jnp.tile(jnp.asarray(x_small), (1 << 8, 1))
-        for d in (1, 8):
-            dn = DistNtt(make_mesh(d), log_n)
-            t = timed(dn.ntt, xs20, iters=1)
-            big[f"ntt_2^20_d{d}"] = {
-                "s": t, "collective_bytes": n * L * 4,
-                "per_device_rows": n // d}
-            save()
-            print(f"ntt 2^20 d={d}: {t*1e3:.0f} ms", flush=True)
+        if "--msm-only" not in sys.argv:
+            x_small = ints_to_array(
+                [int(v) for v in rng.randint(0, 1 << 62, 1 << 12)])
+            xs20 = jnp.tile(jnp.asarray(x_small), (1 << 8, 1))
+            for d in (1, 8):
+                dn = DistNtt(make_mesh(d), log_n)
+                t = timed(dn.ntt, xs20, iters=1)
+                big[f"ntt_2^20_d{d}"] = {
+                    "s": t, "collective_bytes": n * L * 4,
+                    "per_device_rows": n // d}
+                save()
+                print(f"ntt 2^20 d={d}: {t*1e3:.0f} ms", flush=True)
         # --- MSM 2^20 (2^17 points/device at d=8 -- the smallest size
         # where every shard still routes to the production sorted
         # engine): all_gather moves d*3*L*4 B ---
@@ -120,6 +124,8 @@ def main():
             save()
             print(f"msm 2^{log_m} d={d}: {t:.2f} s", flush=True)
         for key in ("ntt_2^20", f"msm_2^{log_m}"):
+            if f"{key}_d1" not in big:
+                continue
             t1 = big[f"{key}_d1"]["s"]
             if f"{key}_d8" in big:
                 big[f"{key}_d8"]["overhead_vs_d1"] = (

@@ -348,17 +348,20 @@ def _poseidon2_kernel(l_ref, r_ref, c_ref, m_ref, mask_ref, p_ref, np_ref,
         x4 = mul(x2, x2)
         return mul(x4, x)
 
-    def round_body(r, s):
+    def round_body(r, s, full):
+        # `full` is STATIC: the round schedule is fixed (R_F/2 full, R_P
+        # partial, R_F/2 full), so the 57 partial rounds compile with ONE
+        # S-box instead of three masked ones — 12 muls/round vs 18, ~30%
+        # of the permutation's mul work dropped vs the single masked loop.
         s0, s1, s2 = s
         c = c_ref[r]                                   # (3, L)
         s0 = add(s0, c[0][:, None])
         s1 = add(s1, c[1][:, None])
         s2 = add(s2, c[2][:, None])
-        full = mask_ref[r, 1] != 0                     # lanes 1.. sboxed?
         s0 = pow5(s0)
-        s1p, s2p = pow5(s1), pow5(s2)
-        s1 = jnp.where(full, s1p, s1)
-        s2 = jnp.where(full, s2p, s2)
+        if full:
+            s1 = pow5(s1)
+            s2 = pow5(s2)
         # MDS: out_i = Σ_j M[i,j]·s_j
         out = []
         for i in range(3):
@@ -368,9 +371,17 @@ def _poseidon2_kernel(l_ref, r_ref, c_ref, m_ref, mask_ref, p_ref, np_ref,
             out.append(acc)
         return tuple(out)
 
-    s = jax.lax.fori_loop(0, n_rounds,
-                          lambda r, s: round_body(r, s),
-                          (zero, l_ref[...], r_ref[...]))
+    from ..ops.hash import POSEIDON_RF, POSEIDON_RP
+
+    half = POSEIDON_RF // 2
+    r_p = POSEIDON_RP[1]                               # t=3 instantiation
+    assert n_rounds == POSEIDON_RF + r_p
+    s = (zero, l_ref[...], r_ref[...])
+    s = jax.lax.fori_loop(0, half, lambda r, s: round_body(r, s, True), s)
+    s = jax.lax.fori_loop(half, half + r_p,
+                          lambda r, s: round_body(r, s, False), s)
+    s = jax.lax.fori_loop(half + r_p, n_rounds,
+                          lambda r, s: round_body(r, s, True), s)
     out_ref[...] = s[0]
 
 

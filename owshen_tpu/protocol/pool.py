@@ -262,10 +262,6 @@ class PrivacyPool:
         if nullifier in self.nullifiers:
             # burn_tx.rs:15-18 / Owshen.sol:68 isExecuted[id]
             raise PoolError("nullifier already spent")
-        if self.balances.get(tid, 0) < amount:
-            # defense-in-depth: the escrow cannot overdraw even if the
-            # circuit/setup were broken (burn_tx.rs:21-24)
-            raise PoolError("insufficient pool balance")
         with metrics.timer("pool.withdraw_verify"):
             ok = groth16.verify(self.vk,
                                 [root, nullifier, recipient, amount, tid],
@@ -273,6 +269,12 @@ class PrivacyPool:
         if not ok:
             metrics.inc("pool.rejected_proofs")
             raise PoolError("invalid proof")
+        if self.balances.get(tid, 0) < amount:
+            # defense-in-depth AFTER cryptographic validity: a tampered
+            # request fails as "invalid proof" (the informative error), and
+            # the escrow still cannot overdraw even if the circuit/setup
+            # were broken (burn_tx.rs:21-24)
+            raise PoolError("insufficient pool balance")
         metrics.inc("pool.withdrawals")
         self.nullifiers.add(nullifier)
         self.balances[tid] = self.balances.get(tid, 0) - amount
@@ -368,16 +370,20 @@ class PrivacyPool:
             if nullifier in self.nullifiers or nullifier in seen_nullifiers:
                 raise PoolError("nullifier already spent")
             seen_nullifiers.add(nullifier)
-            debited = debits.get(tid, 0) + amount
-            if self.balances.get(tid, 0) < debited:
-                raise PoolError("insufficient pool balance")
-            debits[tid] = debited
             ok = groth16.verify(self.vk,
                                 [root, nullifier, recipient, amount, tid],
                                 proof)
             if not ok:
                 metrics.inc("pool.rejected_proofs")
                 raise PoolError("invalid proof")
+            # conservation AFTER cryptographic validity (matches the
+            # single-withdraw path): tampered requests surface as
+            # "invalid proof"; a valid-but-overdrawing one still cannot
+            # drain the escrow (burn_tx.rs:21-24)
+            debited = debits.get(tid, 0) + amount
+            if self.balances.get(tid, 0) < debited:
+                raise PoolError("insufficient pool balance")
+            debits[tid] = debited
             bindings.append(_binding_hash(recipient, tid, amount, nullifier,
                                           _chain_id()))
         n = len(norm)
